@@ -1,0 +1,28 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """One Ray session for the whole pytest run (driver contract)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus_dir(tmp_path_factory):
+    """A 60-doc synthetic corpus on disk, shared across tests."""
+    from pd3f_ray.sources.synth import write_corpus
+
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(str(d), n_docs=60, seed=42, rows_per_file=20)
+    return str(d)
