@@ -1,44 +1,128 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in pd3f_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship extraction pipeline on the sf0.001-scale
+  synthetic corpus (the BASELINE.json input_hint table, synthesized
+  deterministically because /root/testdata has no layout-document
+  table); returns the extracted Dataset.
+- ``queries()`` — one entry per implemented pipeline/operator
+  (SURVEY.md §2 + the large-scale training-data ops). Extraction
+  entries have no SQL equivalent (LM-in-the-loop, non-relational) and
+  get rows-only checks; the dedup / similarity / text-stats /
+  relational entries run over the driver's parquet tables and are
+  oracle-checked via ``oracle_sql()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+# Make the package importable and its callables shippable no matter what
+# cwd the driver initialised Ray from: put the repo root on sys.path and
+# register every pd3f_ray module for pickle-by-value so worker processes
+# don't need the import path at all.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def _ship_package_by_value() -> None:
+    import importlib
+
+    from ray import cloudpickle
+
+    importlib.import_module("pd3f_ray.pipelines.extraction")
+    importlib.import_module("pd3f_ray.sources.corpus")
+    for name, mod in list(sys.modules.items()):
+        if name.startswith("pd3f_ray") and mod is not None:
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+
+_ship_package_by_value()
+
+SF001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from pd3f_ray.pipelines.extraction import extract_from_parquet
+    from pd3f_ray.sources.corpus import ensure_corpus
+
+    corpus = ensure_corpus(SF001, kind="docs")
+    return extract_from_parquet(corpus)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_docs(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import extract_from_parquet
+    from pd3f_ray.sources.corpus import ensure_corpus
+
+    return extract_from_parquet(ensure_corpus(sf_dir, kind="docs"))
+
+
+def _q_extract_pages(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import extract_from_pages_parquet
+    from pd3f_ray.sources.corpus import ensure_corpus
+
+    return extract_from_pages_parquet(ensure_corpus(sf_dir, kind="pages"))
+
+
+def _q_extract_summary(sf_dir: str):
+    """Per-language extraction metrics (streaming aggregate over the
+    extraction output; no full materialization)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    ds = _q_extract_docs(sf_dir)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars"),
+                "is_error": pc.cast(
+                    pc.is_valid(batch.column("error")), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("is_error", alias_name="n_errors"),
+        )
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_docs": _q_extract_docs,
+        "extract_pages": _q_extract_pages,
+        "extract_summary": _q_extract_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
     return {}

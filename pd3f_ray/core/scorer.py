@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import math
 import string
-from functools import lru_cache
 
 # ---------------------------------------------------------------------------
 # Built-in vocabulary: frequency classes (higher = more common).
@@ -79,11 +78,16 @@ class DeterministicScorer:
     kept for interface parity; ``-fast`` suffixes are accepted like the
     reference's model-name convention (dehyphen_wrapper.py:26-30)."""
 
+    # per-instance score cache bound (scores are deterministic, so the
+    # cache never changes results — it only saves recomputation)
+    _CACHE_MAX = 65536
+
     def __init__(self, lang: str = "multi", fast: bool | None = None):
         if lang.endswith("-fast"):
             lang, fast = lang[:-5], True
         self.lang = lang
         self.fast = bool(fast)
+        self._cache: dict[str, float] = {}
 
     # -- token / text costs -------------------------------------------------
 
@@ -109,9 +113,18 @@ class DeterministicScorer:
         junk = sum(1 for c in t if not (c.isalnum() or c in "-'"))
         return 6.0 + 0.25 * len(t) + 1.5 * junk
 
+    def _score_one(self, text: str) -> float:
+        cached = self._cache.get(text)
+        if cached is not None:
+            return cached
+        score = self._score_uncached(text)
+        if len(self._cache) >= self._CACHE_MAX:
+            self._cache.clear()
+        self._cache[text] = score
+        return score
+
     @classmethod
-    @lru_cache(maxsize=65536)
-    def _score_one(cls, text: str) -> float:
+    def _score_uncached(cls, text: str) -> float:
         tokens = text.split()
         if not tokens:
             return 100.0

@@ -1,0 +1,128 @@
+"""End-to-end extraction pipelines.
+
+Ray-native lifecycle (SURVEY.md §3): ``read_parquet`` (column-pruned) →
+``map_batches(ExtractDocs, concurrency=...)`` actor pool → consume
+(write_parquet / aggregate). Page-table inputs go through one
+``groupby("url")`` shuffle first. The resumable runner shards the input
+files and commits one output directory + manifest record per shard.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray.data as rd
+
+from pd3f_ray.core.config import ExtractOptions
+from pd3f_ray.stages.extract import ExtractDocs
+from pd3f_ray.stages.pages import assemble_pages_dataset
+from pd3f_ray.state import manifest as mf
+
+# columns the extraction stage needs — never read the rest off storage
+DOC_COLUMNS = ["url", "warc_ts", "html", "lang"]
+PAGE_COLUMNS = ["url", "warc_ts", "page_idx", "page_json", "lang"]
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster."""
+    import ray
+
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, cpus))
+
+
+def extract_dataset(
+    ds: "rd.Dataset",
+    opts: ExtractOptions | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 64,
+    num_cpus: float = 1,
+) -> "rd.Dataset":
+    """Document-table Dataset → extracted Dataset (EXTRACT_SCHEMA)."""
+    return ds.map_batches(
+        ExtractDocs,
+        fn_constructor_kwargs={"opts": opts},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency or _default_concurrency(),
+        num_cpus=num_cpus,
+    )
+
+
+def read_documents(path: str | list[str]) -> "rd.Dataset":
+    return rd.read_parquet(path, columns=DOC_COLUMNS)
+
+
+def extract_from_parquet(
+    path: str | list[str],
+    opts: ExtractOptions | None = None,
+    **kw,
+) -> "rd.Dataset":
+    return extract_dataset(read_documents(path), opts, **kw)
+
+
+def extract_from_pages_parquet(
+    path: str | list[str],
+    opts: ExtractOptions | None = None,
+    **kw,
+) -> "rd.Dataset":
+    """Page-table variant: groupby(url) + in-group page_idx sort, then the
+    same extraction stage."""
+    pages = rd.read_parquet(path, columns=PAGE_COLUMNS)
+    docs = assemble_pages_dataset(pages)
+    return extract_dataset(docs, opts, **kw)
+
+
+def run_resumable(
+    input_path: str,
+    out_dir: str,
+    opts: ExtractOptions | None = None,
+    num_shards: int = 8,
+    **kw,
+) -> dict:
+    """Sharded, resumable extraction run.
+
+    Input parquet files are deterministically grouped into shards; each
+    shard is extracted as its own streaming Dataset execution and
+    committed atomically (temp dir → rename → manifest append). A rerun
+    skips shards already in the manifest, so a killed job loses at most
+    one shard of work. Returns summary metrics.
+    """
+    import pyarrow.dataset as pads
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    shards = mf.plan_shards(files, num_shards)
+    done = mf.load_completed(out_dir)
+
+    total = {"shards_done": 0, "shards_skipped": 0, "rows": 0, "errors": 0}
+    for shard_id, shard_files in enumerate(shards):
+        if shard_id in done:
+            total["shards_skipped"] += 1
+            total["rows"] += done[shard_id].get("rows", 0)
+            total["errors"] += done[shard_id].get("errors", 0)
+            continue
+        tmp = mf.shard_dir(out_dir, shard_id) + ".__tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        ds = extract_from_parquet(shard_files, opts, **kw)
+        ds.write_parquet(tmp)
+        # metadata-only row count + error count over the written shard
+        written = pads.dataset(tmp, format="parquet")
+        rows = written.count_rows()
+        errors = written.count_rows(filter=~pads.field("error").is_null())
+        rec = mf.commit_shard(
+            out_dir, shard_id, tmp, shard_files, {"rows": rows, "errors": errors}
+        )
+        total["shards_done"] += 1
+        total["rows"] += rec["rows"]
+        total["errors"] += rec["errors"]
+    return total
