@@ -117,12 +117,49 @@ def _q_extract_summary(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from pd3f_ray.pipelines import dedup, relational, similarity, textstats
+
     return {
+        # extraction (LM-in-the-loop; rows-only checks — no SQL equivalent)
         "extract_docs": _q_extract_docs,
         "extract_pages": _q_extract_pages,
         "extract_summary": _q_extract_summary,
+        # relational / wide ops (oracle-checked)
+        "q1_pricing": relational.q1_pricing,
+        "top_orders": relational.top_orders,
+        "segment_order_stats": relational.segment_order_stats,
+        "events_hourly": relational.events_hourly,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_prefix": dedup.dedup_prefix,
+        "jaccard_pairs": dedup.jaccard_pairs,
+        "minhash_pairs": dedup.minhash_pairs,      # approximate → rows-only
+        "simhash_docs": dedup.simhash_docs,        # bit sketch → rows-only
+        # text analysis
+        "token_stats": textstats.token_stats,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        "lang_quality": textstats.lang_quality,
+        "lang_id": textstats.lang_id,
+        # similarity search
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_lsh": similarity.knn_lsh,             # approximate → rows-only
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {}
+    from pd3f_ray.pipelines import dedup, relational, similarity, textstats
+
+    return {
+        "q1_pricing": relational.Q1_SQL,
+        "top_orders": relational.TOP_ORDERS_SQL,
+        "segment_order_stats": relational.SEGMENT_ORDER_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
+        "jaccard_pairs": dedup.jaccard_pairs_sql(),
+        "token_stats": textstats.TOKEN_STATS_SQL,
+        "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
+        "lang_quality": textstats.LANG_QUALITY_SQL,
+        "lang_id": textstats.LANG_ID_SQL,
+        "knn_bruteforce": similarity.knn_sql(),
+    }

@@ -1,0 +1,332 @@
+"""Deduplication pipelines over the ``documents`` table.
+
+Four families, each a first-class training-data operator:
+
+- **exact**: hash-partition on the content digest, keep the smallest
+  doc_id per group (oracle-checked).
+- **prefix-normalized**: same, keyed on the md5 of the first-k-token
+  prefix (a cheap normalization key; oracle-checked).
+- **byte-set Jaccard pairs**: the oracle-checkable exact near-dup
+  variant, blocked by language (DuckDB ``jaccard`` == byte-set Jaccard,
+  verified empirically). O(block²) by design — the correctness anchor.
+- **MinHash-LSH**: the scale path — shingle → signature → banded bucket
+  groupby → candidate pairs → exact shingle-Jaccard verification. Output
+  verified against brute force in tests (no SQL oracle: approximate
+  candidate generation).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from pd3f_ray.functions.textfns import (
+    masks_for,
+    md5_hex,
+    minhash_signature,
+    pairwise_byteset_jaccard,
+    word_shingles,
+)
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# exact / normalized dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(sf_dir: str):
+    """One row per distinct content hash: the kept (minimum) doc_id and
+    the duplicate count. The shuffle moves 32-byte digests, never text."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "text_hash": pa.array([md5_hex(t) for t in texts], pa.string()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    return (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(
+            Min("doc_id", alias_name="keep_id"),
+            Count(alias_name="n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+PREFIX_K = 8
+
+
+def dedup_prefix(sf_dir: str):
+    """Near-dedup on a normalization key: md5 of the first-8-token
+    prefix. Groups documents sharing an opening — a cheap boilerplate
+    detector that stays oracle-checkable."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keys = [md5_hex(" ".join(t.split(" ")[:PREFIX_K])) for t in texts]
+        return pa.table(
+            {
+                "prefix_hash": pa.array(keys, pa.string()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    return (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("prefix_hash")
+        .aggregate(
+            Min("doc_id", alias_name="keep_id"),
+            Count(alias_name="n_copies"),
+        )
+    )
+
+
+DEDUP_PREFIX_SQL = f"""
+SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_K}], ' '))
+           AS prefix_hash,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY prefix_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# byte-set Jaccard near-dup pairs (exact, lang-blocked — the oracle anchor)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.99
+CHAR_BAND = 2
+
+
+def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
+    """Same-language document pairs within ±CHAR_BAND chars of each other
+    whose byte-set Jaccard exceeds the threshold.
+
+    Blocking: lang is the shuffle key; inside a block a sort on n_chars
+    plus a sliding window makes the length-band predicate complete
+    without O(block²) comparisons. The Jaccard itself is a vectorized
+    bitmask popcount with DuckDB-identical semantics (byte sets of the
+    UTF-8 encoding). This is the exact, oracle-checked variant; the
+    MinHash-LSH path below is the probabilistic scale path.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((group["doc_id"].to_numpy(),
+                            group["n_chars"].to_numpy()))
+        ids = group["doc_id"].to_numpy()[order]
+        chars = group["n_chars"].to_numpy()[order]
+        texts = group["text"].to_numpy()[order]
+        masks = masks_for(list(texts))
+        from pd3f_ray.functions.textfns import popcount64
+
+        sizes = popcount64(masks).sum(axis=1)
+        out_a, out_b = [], []
+        n = len(ids)
+        for i in range(n):
+            j = i + 1
+            while j < n and chars[j] - chars[i] <= CHAR_BAND:
+                j += 1
+            if j == i + 1:
+                continue
+            window = slice(i + 1, j)
+            inter = popcount64(masks[i] & masks[window]).sum(axis=1)
+            union = sizes[i] + sizes[window] - inter
+            sims = np.where(union > 0, inter / union, 0.0)
+            hits = np.nonzero(sims > threshold)[0]
+            for h in hits:
+                a, b = ids[i], ids[i + 1 + h]
+                out_a.append(min(a, b))
+                out_b.append(max(a, b))
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64")})
+
+    return ds.groupby("lang").map_groups(block_pairs, batch_format="pandas")
+
+
+def jaccard_pairs_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""
+SELECT least(a.doc_id, b.doc_id)    AS id_a,
+       greatest(a.doc_id, b.doc_id) AS id_b
+FROM documents a
+JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= {CHAR_BAND}
+WHERE jaccard(a.text, b.text) > {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (the scale path)
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 64
+NUM_BANDS = 16  # 16 bands × 4 rows ≈ catches Jaccard ≳ 0.5
+SHINGLE_K = 3
+VERIFY_THRESHOLD = 0.5
+
+
+def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
+    """MinHash-LSH near-duplicate pairs verified by exact word-shingle
+    Jaccard.
+
+    Stages: (1) per-batch shingle+sign (stateless, vectorized minhash);
+    (2) explode to (band_id, band_hash, doc_id) rows; (3) groupby band
+    buckets → candidate pairs; (4) per-pair exact verification against
+    broadcast shingle sets. At sf scales the shingle sets are broadcast
+    whole; at corpus scale verification joins signatures instead — the
+    banding/bucketing shape is the same.
+
+    No SQL oracle (candidate generation is probabilistic); tests verify
+    recall against the brute-force pair set at small n.
+    """
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    rows_per_band = NUM_PERM // NUM_BANDS
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_doc, out_band, out_hash = [], [], []
+        from pd3f_ray.functions.textfns import hash_bytes
+
+        for did, text in zip(doc_ids, texts):
+            sig = minhash_signature(word_shingles(text, SHINGLE_K), NUM_PERM)
+            for b in range(NUM_BANDS):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                # stable digest (Python hash() is process-salted and would
+                # break cross-actor bucketing)
+                out_doc.append(did)
+                out_band.append(b)
+                out_hash.append(hash_bytes(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+
+    candidates = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # exact verification against broadcast shingle sets (small side)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    shingle_map = {
+        did: word_shingles(txt, SHINGLE_K)
+        for did, txt in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist())
+    }
+    sh_ref = ray.put(shingle_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        seen = set()
+        id_a, id_b, sims = [], [], []
+        for a, b in zip(batch.column("id_a").to_pylist(),
+                        batch.column("id_b").to_pylist()):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            sa, sb = sh[a], sh[b]
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= threshold:
+                id_a.append(a)
+                id_b.append(b)
+                sims.append(round(j, 6))
+        return pa.table(
+            {
+                "id_a": pa.array(id_a, pa.int64()),
+                "id_b": pa.array(id_b, pa.int64()),
+                "jaccard_x1e6": pa.array([int(s * 1e6) for s in sims], pa.int64()),
+            }
+        )
+
+    verified = candidates.map_batches(verify, batch_format="pyarrow")
+
+    # candidates can surface in multiple bands → final exact dedup of pairs
+    return (
+        verified.groupby(["id_a", "id_b"])
+        .aggregate(Min("jaccard_x1e6", alias_name="jaccard_x1e6"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints (bit-sketch dedup family)
+# ---------------------------------------------------------------------------
+
+
+def simhash_docs(sf_dir: str, bits: int = 64):
+    """64-bit SimHash per document over hashed tokens; near-dups share
+    fingerprints within small Hamming distance. Deterministic (blake2b
+    token hashes); rows-only check (bit arithmetic is not practical to
+    oracle in SQL)."""
+    from pd3f_ray.functions.textfns import hash_bytes
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def sim(batch: pa.Table) -> pa.Table:
+        fps = []
+        cache: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            hs = np.fromiter(
+                (cache.setdefault(tok, hash_bytes(tok.encode())) for tok in toks),
+                dtype=np.uint64, count=len(toks),
+            )
+            bitmat = (hs[:, None] >> shifts) & np.uint64(1)  # (n_tok, bits)
+            acc = bitmat.astype(np.int64).sum(axis=0) * 2 - len(toks)
+            fp = int(((acc > 0).astype(np.uint64) << shifts).sum())
+            fps.append(fp & 0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(fps, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sim, batch_format="pyarrow")

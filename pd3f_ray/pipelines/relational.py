@@ -1,0 +1,282 @@
+"""Engine-breadth relational pipelines over the driver's testdata tables.
+
+The reference has no relational operators (SURVEY.md §2.8) — these
+demonstrate the engine-level capabilities a Ray-Data-native system needs
+(grouped aggregation with map-side partial combine, broadcast join,
+global top-k, event-time windowing), each with a DuckDB oracle.
+
+Scale conventions:
+- **Partial aggregation**: every groupby is preceded by a per-batch
+  combine inside ``map_batches`` so the shuffle moves one row per
+  (key, batch) instead of one per input row.
+- **Integer units**: monetary/metric sums are emitted as integer cents /
+  micros (deterministic, order-independent) so results hash-match the
+  SQL oracle exactly — float sums would differ in the last ulp by
+  summation order.
+- **Broadcast joins**: the small side is ``ray.put`` once and read
+  inside each task; no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _round_opts() -> pc.RoundOptions:
+    """DuckDB round() is half-away-from-zero; Arrow's default is
+    half-to-even — match DuckDB so integer-cent values agree bit-for-bit.
+    (Constructed per call: pyarrow options objects are not picklable, and
+    these modules ship to workers by value.)"""
+    return pc.RoundOptions(round_mode="half_towards_infinity")
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(
+        pc.round(pc.multiply(col, pa.scalar(100.0)), options=_round_opts()),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (grouped agg with partial combine)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing(sf_dir: str):
+    """Per (returnflag, linestatus): row count, total quantity, gross and
+    discounted revenue in integer cents. Shipdate-filtered like TPC-H Q1."""
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_cents": pa.array([], pa.int64()),
+                    "sum_disc_cents": pa.array([], pa.int64()),
+                }
+            )
+        base_cents = _cents(batch.column("l_extendedprice"))
+        disc_cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(batch.column("l_extendedprice"),
+                                pc.subtract(pa.scalar(1.0), batch.column("l_discount"))),
+                    pa.scalar(100.0),
+                ),
+                options=_round_opts(),
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+                "base_cents": base_cents,
+                "disc_cents": disc_cents,
+            }
+        )
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                n_rows=("qty", "size"),
+                sum_qty=("qty", "sum"),
+                sum_base_cents=("base_cents", "sum"),
+                sum_disc_cents=("disc_cents", "sum"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       count(*)                                            AS n_rows,
+       sum(CAST(l_quantity AS BIGINT))                     AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))   AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                                                           AS sum_disc_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# global top-k (sort-limit)
+# ---------------------------------------------------------------------------
+
+
+def top_orders(sf_dir: str, k: int = 15):
+    """Top-k orders by total price (orderkey tie-break), integer cents."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "total_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast join: orders ⋈ customer → per-segment stats
+# ---------------------------------------------------------------------------
+
+
+def segment_order_stats(sf_dir: str):
+    """Join each order to its customer's market segment (customer is the
+    small side: broadcast once via ray.put, dict-lookup per batch — no
+    shuffle join), then aggregate per segment."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(
+        zip(cust.column("c_custkey").to_pylist(),
+            cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        segs = [seg.get(int(k), "UNKNOWN") for k in keys]
+        cents = _cents(batch.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"c_mktsegment": segs, "cents": cents})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), sum_total_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_total_cents", alias_name="sum_total_cents"),
+        )
+    )
+
+
+SEGMENT_ORDER_SQL = """
+SELECT c.c_mktsegment,
+       count(*)                                        AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_total_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time tumbling window
+# ---------------------------------------------------------------------------
+
+_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour windows per event_type: count + value sum in
+    integer micros. Window id = floor(epoch_us / 3600e6), matching the
+    SQL oracle exactly."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        # integer division; timestamps are post-epoch so truncation == floor,
+        # matching DuckDB's // exactly
+        window = pc.divide(us, pa.scalar(_WINDOW_US, pa.int64()))
+        micros = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), pa.scalar(1e6)),
+                     options=_round_opts()),
+            pa.int64(),
+        )
+        df = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_id": window,
+                "micros": micros,
+            }
+        ).to_pandas()
+        g = df.groupby(["event_type", "window_id"], as_index=False).agg(
+            n_events=("micros", "size"), sum_value_micros=("micros", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_micros", alias_name="sum_value_micros"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000                     AS window_id,
+       count(*)                                       AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT))    AS sum_value_micros
+FROM events
+GROUP BY event_type, window_id
+"""

@@ -1,0 +1,193 @@
+"""Text-analysis pipelines over the ``documents`` table.
+
+Language-ID, quality scoring, token counting and fingerprinting as
+first-class batch operators (the large-scale training-data toolkit the
+north rule asks for beyond the reference's own operator set). Counting
+semantics are pinned to the DuckDB oracle (single-space split keeping
+empties; md5 of the raw text).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from pd3f_ray.functions.textfns import (
+    distinct_token_count,
+    md5_hex,
+    token_count,
+)
+
+# stopword markers per language for the heuristic language identifier;
+# chosen to be expressible in the SQL oracle (list_filter membership)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def token_stats(sf_dir: str):
+    """Per document: token count, distinct-token count, char length."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array([token_count(t) for t in texts], pa.int64()),
+                "n_distinct_tokens": pa.array(
+                    [distinct_token_count(t) for t in texts], pa.int64()
+                ),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' '))                     AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))      AS n_distinct_tokens,
+       length(text)                                     AS n_chars
+FROM documents
+"""
+
+
+def doc_fingerprint(sf_dir: str):
+    """Content fingerprint per document (md5 of the raw text — the exact
+    dedup key; DuckDB md5() == hashlib md5)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array([md5_hex(t) for t in texts], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+def lang_quality(sf_dir: str):
+    """Per labeled language: doc count, token/char totals and a
+    long-document count — the quality-scoring aggregate (integer-only so
+    it hash-matches SQL exactly)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pylist(),
+                "n_tokens": [token_count(t) for t in texts],
+                "n_chars": [len(t) for t in texts],
+                "is_long": [1 if len(t) > 300 else 0 for t in texts],
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_tokens", "size"),
+            sum_tokens=("n_tokens", "sum"),
+            sum_chars=("n_chars", "sum"),
+            n_long=("is_long", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("n_long", alias_name="n_long"),
+        )
+    )
+
+
+LANG_QUALITY_SQL = """
+SELECT lang,
+       count(*)                                AS n_docs,
+       sum(len(string_split(text, ' ')))       AS sum_tokens,
+       sum(length(text))                       AS sum_chars,
+       sum(CASE WHEN length(text) > 300 THEN 1 ELSE 0 END) AS n_long
+FROM documents
+GROUP BY lang
+"""
+
+
+def lang_id(sf_dir: str):
+    """Heuristic language identification: count stopword-marker hits per
+    language, predict the argmax (ties broken by language code order,
+    'none' when no marker hits). Integer counts + string prediction so
+    the SQL oracle matches exactly."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    langs = sorted(LANG_MARKERS)
+
+    def predict(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hits = {l: [] for l in langs}
+        preds = []
+        for t in texts:
+            toks = t.split(" ")
+            counts = {}
+            for l in langs:
+                markers = LANG_MARKERS[l]
+                counts[l] = sum(1 for w in toks if w in markers)
+                hits[l].append(counts[l])
+            best = max(counts.values())
+            preds.append("none" if best == 0
+                         else min(l for l in langs if counts[l] == best))
+        cols = {"doc_id": batch.column("doc_id")}
+        for l in langs:
+            cols[f"hits_{l}"] = pa.array(hits[l], pa.int64())
+        cols["pred_lang"] = pa.array(preds, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(predict, batch_format="pyarrow")
+
+
+def _marker_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+LANG_ID_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_marker_list('de')}))) AS hits_de,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_marker_list('en')}))) AS hits_en,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_marker_list('es')}))) AS hits_es,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_marker_list('fr')}))) AS hits_fr
+  FROM documents
+)
+SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'none'
+            WHEN hits_de >= greatest(hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en >= greatest(hits_es, hits_fr) THEN 'en'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM h
+"""
