@@ -117,7 +117,13 @@ def _q_extract_summary(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pd3f_ray.pipelines import dedup, relational, similarity, textstats
+    from pd3f_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
 
     return {
         # extraction (LM-in-the-loop; rows-only checks — no SQL equivalent)
@@ -135,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": dedup.jaccard_pairs,
         "minhash_pairs": dedup.minhash_pairs,      # approximate → rows-only
         "simhash_docs": dedup.simhash_docs,        # bit sketch → rows-only
+        "embdup_cosine": dedup.embdup_cosine,
         # text analysis
         "token_stats": textstats.token_stats,
         "doc_fingerprint": textstats.doc_fingerprint,
@@ -143,11 +150,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only
+        # multimodal (stub decode, real actor-pool plumbing)
+        "media_features": multimodal.media_features_flat,  # rows-only
+        "media_kind_summary": multimodal.media_kind_summary,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from pd3f_ray.pipelines import dedup, relational, similarity, textstats
+    from pd3f_ray.pipelines import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
 
     return {
         "q1_pricing": relational.Q1_SQL,
@@ -157,9 +173,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
+        "embdup_cosine": dedup.EMBDUP_COSINE_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "lang_quality": textstats.LANG_QUALITY_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "knn_bruteforce": similarity.knn_sql(),
+        "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,
     }

@@ -294,6 +294,69 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup (over the embeddings table)
+# ---------------------------------------------------------------------------
+
+EMB_THRESHOLD = 0.45
+
+
+def embdup_cosine(sf_dir: str, threshold: float = EMB_THRESHOLD):
+    """Vector near-duplicate pairs: (id_a, id_b) with cosine similarity
+    above the threshold, id_a < id_b.
+
+    The normalized matrix is broadcast once (``ray.put``); each batch
+    does one float64 matmul against it and keeps pairs where the batch
+    id is the smaller one, so every pair surfaces exactly once with no
+    shuffle. At corpus scale the broadcast side is replaced by the
+    LSH-bucketed plan (see similarity.knn_lsh): bucket both sides by
+    hyperplane code, compare within buckets — same emit contract.
+    Oracle-checked (ids only; similarity computed in float64 on both
+    engines)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    all_ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((all_ids, mat / norms))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        ids_all, nm_all = ray.get(ref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (m / n) @ nm_all.T  # (batch, all)
+        hit_i, hit_j = np.nonzero(
+            (sims > threshold) & (vids[:, None] < ids_all[None, :])
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(vids[hit_i], pa.int64()),
+                "id_b": pa.array(ids_all[hit_j], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow")
+
+
+EMBDUP_COSINE_SQL = f"""
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      > {EMB_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints (bit-sketch dedup family)
 # ---------------------------------------------------------------------------
 

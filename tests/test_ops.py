@@ -60,6 +60,12 @@ def test_knn_bruteforce_oracle(ray_session, con):
     _match(knn_bruteforce(SF), knn_sql(), con)
 
 
+def test_embdup_cosine_oracle(ray_session, con):
+    from pd3f_ray.pipelines.dedup import EMBDUP_COSINE_SQL, embdup_cosine
+
+    _match(embdup_cosine(SF), EMBDUP_COSINE_SQL, con)
+
+
 def test_jaccard_pairs_oracle(ray_session, con):
     from pd3f_ray.pipelines.dedup import jaccard_pairs, jaccard_pairs_sql
 
