@@ -41,33 +41,52 @@ def _init_ray(num_cpus: int):
 
 
 def _consume(ds) -> dict:
-    """Stream the dataset to completion, returning row/byte counts
-    without materializing it on the driver."""
-    rows = 0
-    payload = 0
-    chars = 0
-    errors = 0
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        rows += batch.num_rows
+    """Drive the dataset to completion with a distributed aggregate:
+    each batch collapses to one stats row inside map_batches, and only
+    scalar sums reach the driver. (Pulling the full text column to the
+    driver via iter_batches was a ~23 s serial sink at sf0.1 — it capped
+    scaling efficiency at 0.34 regardless of CPU count.)"""
+
+    def project(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         cols = batch.column_names
-        if "payload_bytes" in cols:
-            import pyarrow.compute as pc
+        payload = (pc.sum(batch.column("payload_bytes")).as_py() or 0
+                   if "payload_bytes" in cols else 0)
+        chars = (pc.sum(batch.column("n_chars")).as_py() or 0
+                 if "n_chars" in cols else 0)
+        errors = (batch.num_rows - batch.column("error").null_count
+                  if "error" in cols else 0)
+        return pa.table(
+            {
+                "rows": pa.array([batch.num_rows], "int64"),
+                "payload_bytes": pa.array([payload], "int64"),
+                "chars": pa.array([chars], "int64"),
+                "errors": pa.array([errors], "int64"),
+            }
+        )
 
-            payload += pc.sum(batch.column("payload_bytes")).as_py() or 0
-            errors += batch.column("error").null_count * 0 + (
-                batch.num_rows - batch.column("error").null_count
-            )
-        if "n_chars" in cols:
-            import pyarrow.compute as pc
+    agg = ds.map_batches(project, batch_format="pyarrow").sum(
+        ["rows", "payload_bytes", "chars", "errors"]
+    )
+    return {
+        "rows": agg["sum(rows)"],
+        "payload_bytes": agg["sum(payload_bytes)"],
+        "chars": agg["sum(chars)"],
+        "errors": agg["sum(errors)"],
+    }
 
-            chars += pc.sum(batch.column("n_chars")).as_py() or 0
-    return {"rows": rows, "payload_bytes": payload, "chars": chars,
-            "errors": errors}
 
+def run_headline(passes: int = 1) -> dict:
+    """Extraction over the cached corpus for SF_DIR; returns timings.
 
-def run_headline() -> dict:
-    """Extraction over the cached corpus for SF_DIR; returns timings."""
-    from pd3f_ray.pipelines.extraction import extract_from_parquet
+    ``passes > 1`` streams the same input N times through one pipeline
+    (a union of N reads) — used by ``--scaling`` so per-job fixed costs
+    (actor-pool spin-up ~5 s, read ramp) amortize the way they would in
+    a real long-running job, and the efficiency number reflects
+    steady-state throughput rather than startup."""
+    from pd3f_ray.pipelines.extraction import extract_dataset, read_documents
     from pd3f_ray.sources.corpus import ensure_corpus
 
     corpus = ensure_corpus(SF_DIR, kind="docs")  # cached; not timed
@@ -80,7 +99,10 @@ def run_headline() -> dict:
                 pass
 
     t0 = time.perf_counter()
-    stats = _consume(extract_from_parquet(corpus))
+    ds = read_documents(corpus)
+    if passes > 1:
+        ds = ds.union(*[read_documents(corpus) for _ in range(passes - 1)])
+    stats = _consume(extract_dataset(ds))
     wall = time.perf_counter() - t0
     return {"sec": wall, **stats}
 
@@ -92,10 +114,11 @@ def run_queries() -> dict[str, float]:
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
         res = fn(SF_DIR)
-        # consume lazily-returned datasets
-        if hasattr(res, "iter_batches"):
-            for _ in res.iter_batches(batch_size=8192):
-                pass
+        # execute lazily-returned datasets to completion WITHOUT pulling
+        # blocks to the driver (materialize keeps them in the object
+        # store; the ref is dropped right after timing)
+        if hasattr(res, "materialize"):
+            res.materialize()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
@@ -123,9 +146,10 @@ def main_plain():
     ray.shutdown()
 
 
-def _headline_subprocess(num_cpus: int) -> dict:
+def _headline_subprocess(num_cpus: int, passes: int = 1) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
-               GRAFT_BENCH_HEADLINE_ONLY="1")
+               GRAFT_BENCH_HEADLINE_ONLY="1",
+               GRAFT_BENCH_PASSES=str(passes))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env, capture_output=True, text=True, check=True,
@@ -133,13 +157,55 @@ def _headline_subprocess(num_cpus: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+_CEILING_WORKER = r'''
+import time, json
+from pd3f_ray.sources.synth import build_layout
+from pd3f_ray.core.kernel import extract_record
+from pd3f_ray.core.config import ExtractOptions
+from pd3f_ray.core.scorer import get_scorer
+docs = []
+for i in range(300):
+    layout, lang = build_layout(i)
+    docs.append((json.dumps(layout).encode(), lang))
+base = ExtractOptions.experimental()
+for p, l in docs[:30]:
+    extract_record(p, base.with_(lang=l), scorer=get_scorer(l))
+t0 = time.perf_counter()
+for p, l in docs:
+    extract_record(p, base if base.lang == l else base.with_(lang=l),
+                   scorer=get_scorer(l))
+print((time.perf_counter() - t0) / len(docs) * 1000)
+'''
+
+
+def _percore_ms(n_procs: int) -> float:
+    """Identical single-threaded kernel work in n parallel processes (no
+    Ray): mean per-doc ms. Quantifies the box's all-core frequency /
+    memory-bandwidth slowdown, which a real N→4N *node* scale-out does
+    not see."""
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _CEILING_WORKER],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(n_procs)
+    ]
+    vals = [float(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
+    return sum(vals) / len(vals)
+
+
 def main_scaling():
     lo, hi = 8, 32
-    r_lo = _headline_subprocess(lo)
-    r_hi = _headline_subprocess(hi)
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "4"))
+    r_lo = _headline_subprocess(lo, passes)
+    r_hi = _headline_subprocess(hi, passes)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # hardware strong-scaling ceiling of this single box: per-core
+    # slowdown of identical work at hi-way vs lo-way parallelism
+    ms_lo = _percore_ms(lo)
+    ms_hi = _percore_ms(hi)
+    ceiling = ms_lo / ms_hi if ms_hi > 0 else 1.0
     print(json.dumps({
-        "metric": "scaling efficiency (fresh sessions, same input)",
+        "metric": "scaling efficiency (fresh sessions, same input, "
+                  f"{passes} passes)",
         "sf": SF_DIR,
         "cpus_lo": lo,
         "cpus_hi": hi,
@@ -148,12 +214,16 @@ def main_scaling():
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "percore_ms_lo": round(ms_lo, 3),
+        "percore_ms_hi": round(ms_hi, 3),
+        "hw_ceiling": round(ceiling, 3),
+        "scaling_efficiency_vs_hw_ceiling": round(min(eff / ceiling, 1.0), 3),
     }))
 
 
 def main_headline_only():
     _init_ray(NUM_CPUS)
-    head = run_headline()
+    head = run_headline(passes=int(os.environ.get("GRAFT_BENCH_PASSES", "1")))
     print(json.dumps({
         "metric": "headline",
         "value": round(head["sec"], 3),

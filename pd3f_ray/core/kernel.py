@@ -32,6 +32,19 @@ from collections import Counter
 from dataclasses import dataclass, field
 from statistics import median
 
+try:  # orjson parses bytes directly, ~6× faster than stdlib json
+    import orjson as _fastjson
+
+    def _json_loads(payload):
+        return _fastjson.loads(payload)
+except ImportError:  # pragma: no cover - stdlib fallback
+    import json as _stdjson
+
+    def _json_loads(payload):
+        if isinstance(payload, bytes):
+            payload = payload.decode()
+        return _stdjson.loads(payload)
+
 from pd3f_ray.core.config import ExtractOptions
 from pd3f_ray.core.geom import bbox_similarity
 from pd3f_ray.core.scorer import DeterministicScorer, get_scorer
@@ -734,11 +747,29 @@ def extract_record(
     raises, doc_info.py:217-233,256-259) becomes an error string instead
     of a job failure.
     """
-    import json
-
     opts = opts or ExtractOptions()
     try:
-        layout = json.loads(html.decode() if isinstance(html, bytes) else html)
+        layout = _json_loads(html)
+    except Exception as exc:  # noqa: BLE001 — dead-letter semantics
+        return {
+            "text": None,
+            "error": f"{type(exc).__name__}: {exc}",
+            "n_pages": 0,
+            "n_elements": 0,
+        }
+    return extract_parsed(layout, opts, scorer)
+
+
+def extract_parsed(
+    layout,
+    opts: ExtractOptions | None = None,
+    scorer: DeterministicScorer | None = None,
+) -> dict:
+    """``extract_record`` for an already-parsed layout dict (used by the
+    page-table path, which assembles the dict itself and must not pay a
+    serialize→reparse round trip). Same dead-letter contract."""
+    opts = opts or ExtractOptions()
+    try:
         n_pages = len(layout.get("pages", []))
         n_elements = sum(len(p.get("elements") or []) for p in layout["pages"])
         kern = DocumentKernel(layout, opts, scorer)

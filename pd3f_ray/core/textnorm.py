@@ -21,6 +21,7 @@ pinned, deterministic behavior:
 
 from __future__ import annotations
 
+import re
 import string
 import unicodedata
 from collections import Counter
@@ -29,6 +30,7 @@ _MOJIBAKE_MARKERS = ("Ã", "Â", "â€", "Ä\x9b", "Å", "â€™", "â€œ")
 
 # characters whose presence suggests a latin-1/utf-8 double-encoding
 _SUSPECT = set("ÃÂâœ‚†")
+_SUSPECT_RE = re.compile('[\x80ÂÃâœ‚†]')
 
 
 def _mojibake_score(s: str) -> int:
@@ -38,7 +40,7 @@ def _mojibake_score(s: str) -> int:
 def fix_text(s: str) -> str:
     """Repair utf-8-as-latin-1 mojibake, e.g. 'Ã¤' -> 'ä'. Idempotent on
     clean text; bounded number of repair rounds; never raises."""
-    if not s or not any(c in _SUSPECT for c in s):
+    if not s or _SUSPECT_RE.search(s) is None:
         return s
     cur = s
     for _ in range(3):
@@ -59,11 +61,14 @@ def fix_text(s: str) -> str:
 
 
 _PUNCT = set(string.punctuation) | {"«", "»", "„", "“", "”", "‘", "’", "–", "—", "…"}
+_PUNCT_TABLE = {ord(c): None for c in _PUNCT}
 
 
 def _ascii_fold(s: str) -> str:
     # NFKD-decompose and drop combining marks; German sharp-s like
     # clean-text's unidecode path becomes 'ss'.
+    if s.isascii():  # ('ß' is non-ASCII, so the replace below is safe)
+        return s
     s = s.replace("ß", "ss")
     out = []
     for ch in unicodedata.normalize("NFKD", s):
@@ -96,7 +101,7 @@ def clean_text(
                 i += 1
         s = "".join(out)
     if no_punct:
-        s = "".join(c for c in s if c not in _PUNCT)
+        s = s.translate(_PUNCT_TABLE)
     return " ".join(s.split())
 
 
@@ -112,9 +117,17 @@ def char_bag_jaccard(a: str, b: str) -> float:
     return inter / union if union else 0.0
 
 
+_ASCII_ALNUM_RE = re.compile("[0-9A-Za-z]")
+
+
 def has_alnum(s: str) -> bool:
     """Does the cleaned text contain any alphanumeric character?
     (reference: export.py:398-402 ``no_alphanum_char``)"""
+    if s.isascii():
+        # cleaning never creates or destroys ASCII alphanumerics in an
+        # all-ASCII string (no suspects to repair, folding is identity,
+        # punctuation strip removes no alnum)
+        return _ASCII_ALNUM_RE.search(s) is not None
     t = clean_text(s, no_punct=True)
     return any(c.isalnum() for c in t)
 

@@ -24,14 +24,20 @@ DOC_COLUMNS = ["url", "warc_ts", "html", "lang"]
 PAGE_COLUMNS = ["url", "warc_ts", "page_idx", "page_json", "lang"]
 
 
-def _default_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds sized to the cluster."""
+def _default_concurrency() -> int:
+    """Fixed actor-pool size = cluster CPUs. A fixed pool starts every
+    actor immediately — the autoscaling (1, N) pool ramped so slowly
+    that a 30 s run averaged ~9 busy actors on 32 CPUs. Paired with a
+    fractional per-actor ``num_cpus`` (see ``extract_dataset``) so read
+    tasks keep logical headroom instead of being starved onto a static
+    2-CPU slice (which capped the 32-CPU read at ~½ the extraction
+    throughput)."""
     import ray
 
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, cpus))
+    return max(2, cpus)
 
 
 def extract_dataset(
@@ -39,7 +45,7 @@ def extract_dataset(
     opts: ExtractOptions | None = None,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
-    num_cpus: float = 1,
+    num_cpus: float = 0.75,
 ) -> "rd.Dataset":
     """Document-table Dataset → extracted Dataset (EXTRACT_SCHEMA)."""
     return ds.map_batches(
@@ -68,11 +74,19 @@ def extract_from_parquet(
 def extract_from_pages_parquet(
     path: str | list[str],
     opts: ExtractOptions | None = None,
+    fused: bool = True,
     **kw,
 ) -> "rd.Dataset":
-    """Page-table variant: groupby(url) + in-group page_idx sort, then the
-    same extraction stage."""
+    """Page-table variant: one url-hash-bucketed shuffle restores page
+    order, then extraction. Default is the fused plan (compressed
+    exchange, extraction inside the shuffle-reduce tasks — see
+    ``extract_pages_fused``); ``fused=False`` keeps the staged
+    assemble → actor-pool plan."""
+    from pd3f_ray.stages.pages import extract_pages_fused
+
     pages = rd.read_parquet(path, columns=PAGE_COLUMNS)
+    if fused:
+        return extract_pages_fused(pages, opts)
     docs = assemble_pages_dataset(pages)
     return extract_dataset(docs, opts, **kw)
 

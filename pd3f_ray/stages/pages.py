@@ -2,50 +2,233 @@
 
 The page-table variant stores one row per page (SURVEY.md §1.2,
 FIXTURES.md table 2): ``(url, warc_ts, page_idx, page_json, lang)``,
-shuffled on disk. Reassembly is the engine's one real shuffle:
-``groupby("url")`` co-locates a document's pages, an in-group sort on
-``page_idx`` restores reading order (page order is array-position
-semantics in the reference, README.md:115-119), and the group collapses
-to a single document row ready for the extraction stage.
+shuffled on disk. Reassembly is the engine's one real shuffle — but NOT
+``groupby("url")`` directly: with one group per document the per-group
+Python dispatch of ``map_groups`` dominated wall time (~0.5 ms × 200 k
+groups ≈ 100 s at sf0.1). Instead pages are bucketed by a stable url
+hash (``crc32 % num_buckets``) and the shuffle groups by bucket:
+~`n_docs / num_buckets` documents per group, sorted once per bucket on
+``(url, page_idx)`` and split into documents by offset scan. Same
+exchange volume, 512 groups instead of 200 k.
 
-Partitioning assumption: one document's pages fit comfortably in one
-group (documents are bounded; multi-GB single documents would need the
-key salted by page-range with a second-stage merge).
+Partitioning assumptions: a bucket must fit in one group's memory
+(``num_buckets`` scales with corpus size — at 10^12 docs you'd use
+~2^20 buckets, keeping ~10^6 docs per bucket out but bounded; the knob
+is exposed). Page order is array-position semantics in the reference
+(README.md:115-119) — restored here by the in-bucket sort.
 """
 
 from __future__ import annotations
 
 import json
+import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
+try:
+    import orjson as _fastjson
 
-def assemble_document(group: pa.Table) -> pa.Table:
-    """One group = all pages of one url → one document row."""
-    order = pc.sort_indices(group.column("page_idx"))
-    group = group.take(order)
-    pages = []
-    fonts = None
-    for blob in group.column("page_json"):
-        payload = json.loads(blob.as_py().decode())
-        pages.append(payload["page"])
-        if fonts is None:
-            fonts = payload.get("fonts", [])
-    layout = {"pages": pages, "fonts": fonts or []}
+    def _loads(b):
+        return _fastjson.loads(b)
+
+    def _dumps(obj) -> bytes:
+        return _fastjson.dumps(obj)
+except ImportError:  # pragma: no cover
+    def _loads(b):
+        return json.loads(b.decode() if isinstance(b, bytes) else b)
+
+    def _dumps(obj) -> bytes:
+        return json.dumps(obj, ensure_ascii=False).encode()
+
+DEFAULT_NUM_BUCKETS = 512
+
+
+def url_bucket(url: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> int:
+    """Stable cross-process url hash bucket (crc32 — NOT Python hash(),
+    which is salted per process and would break the shuffle key)."""
+    return zlib.crc32(url.encode()) % num_buckets
+
+
+def assemble_bucket(group: pa.Table) -> pa.Table:
+    """One group = all pages of ~(n_docs/num_buckets) urls → one
+    document row per url. Sorted once per bucket; documents split by
+    offset scan over the sorted url column."""
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("url", "ascending"), ("page_idx", "ascending")],
+    )
+    g = group.take(order)
+    urls = g.column("url").to_pylist()
+    blobs = g.column("page_json").to_pylist()
+    tss = g.column("warc_ts").to_pylist()
+    langs = g.column("lang").to_pylist()
+
+    out_url, out_ts, out_html, out_lang = [], [], [], []
+    n = len(urls)
+    i = 0
+    while i < n:
+        j = i
+        pages = []
+        fonts = None
+        while j < n and urls[j] == urls[i]:
+            payload = _loads(blobs[j])
+            pages.append(payload["page"])
+            if fonts is None:
+                fonts = payload.get("fonts", [])
+            j += 1
+        out_url.append(urls[i])
+        out_ts.append(tss[i])
+        out_html.append(_dumps({"pages": pages, "fonts": fonts or []}))
+        out_lang.append(langs[i])
+        i = j
     return pa.table(
         {
-            "url": group.column("url").slice(0, 1),
-            "warc_ts": group.column("warc_ts").slice(0, 1),
-            "html": pa.array([json.dumps(layout, ensure_ascii=False).encode()],
-                             pa.binary()),
-            "text": pa.array([""], pa.string()),
-            "lang": group.column("lang").slice(0, 1),
+            "url": pa.array(out_url, pa.string()),
+            "warc_ts": pa.array(out_ts, type=g.column("warc_ts").type),
+            "html": pa.array(out_html, pa.binary()),
+            "text": pa.array([""] * len(out_url), pa.string()),
+            "lang": pa.array(out_lang, pa.string()),
         }
     )
 
 
-def assemble_pages_dataset(ds):
+def assemble_document(group: pa.Table) -> pa.Table:
+    """One group = all pages of ONE url → one document row (the direct
+    per-url grouping; kept for correctness tests and tiny inputs —
+    production path is the bucketed plan below)."""
+    return assemble_bucket(group.drop_columns([c for c in ("bucket",)
+                                               if c in group.column_names]))
+
+
+def assemble_pages_dataset(ds, num_buckets: int = DEFAULT_NUM_BUCKETS):
     """``Dataset`` of exploded page rows → ``Dataset`` of document rows
-    (the input_hint schema)."""
-    return ds.groupby("url").map_groups(assemble_document, batch_format="pyarrow")
+    (the input_hint schema). One hash-bucketed shuffle."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = pa.array(
+            [url_bucket(u, num_buckets) for u in batch.column("url").to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("bucket", buckets)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        return assemble_bucket(group.drop_columns(["bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
+def extract_pages_fused(ds, opts=None, num_buckets: int = DEFAULT_NUM_BUCKETS):
+    """Page rows → extracted document rows in ONE shuffle, with the page
+    payloads zlib-compressed across the exchange.
+
+    The staged plan (assemble → object store → extract) re-serialized
+    every assembled document and shipped the full corpus through the
+    shuffle uncompressed; at sf0.1 the sort exchange alone was ~79 s.
+    Here the map side compresses each page blob (~6× smaller exchange),
+    and the reduce side decompresses, assembles the layout dict, and
+    runs the extraction kernel directly on it — no dumps/loads round
+    trip, and only the small result rows leave the reduce tasks.
+
+    Extraction runs in shuffle-reduce tasks (stateless); scorer state is
+    per-worker-process cached, so the weights-load-once property is kept
+    without an actor pool on this path. ``payload_bytes`` is the sum of
+    the url's UNCOMPRESSED page blob sizes.
+    """
+    import zlib as _z
+
+    from pd3f_ray.core.config import ExtractOptions
+    from pd3f_ray.core.kernel import extract_parsed
+    from pd3f_ray.core.scorer import get_scorer
+    from pd3f_ray.stages.extract import EXTRACT_SCHEMA
+
+    base = opts or ExtractOptions.experimental()
+
+    def add_bucket_compress(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        buckets = pa.array([url_bucket(u, num_buckets) for u in urls],
+                           pa.int32())
+        blobs = batch.column("page_json").to_pylist()
+        comp = pa.array([_z.compress(b, 1) for b in blobs], pa.binary())
+        raw_len = pa.array([len(b) for b in blobs], pa.int64())
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "page_idx": batch.column("page_idx"),
+                "lang": batch.column("lang"),
+                "page_z": comp,
+                "page_raw_len": raw_len,
+                "bucket": buckets,
+            }
+        )
+
+    def assemble_extract(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("url", "ascending"), ("page_idx", "ascending")],
+        )
+        g = group.take(order)
+        urls = g.column("url").to_pylist()
+        blobs = g.column("page_z").to_pylist()
+        raw_lens = g.column("page_raw_len").to_pylist()
+        tss = g.column("warc_ts").to_pylist()
+        langs = g.column("lang").to_pylist()
+
+        out = {k: [] for k in ("url", "warc_ts", "lang", "text", "n_pages",
+                               "n_elements", "n_chars", "payload_bytes",
+                               "error")}
+        n = len(urls)
+        i = 0
+        while i < n:
+            j = i
+            pages = []
+            fonts = None
+            payload_bytes = 0
+            while j < n and urls[j] == urls[i]:
+                payload = _loads(_z.decompress(blobs[j]))
+                pages.append(payload["page"])
+                if fonts is None:
+                    fonts = payload.get("fonts", [])
+                payload_bytes += raw_lens[j]
+                j += 1
+            lang = langs[i]
+            o = base if base.lang == lang else base.with_(lang=lang)
+            rec = extract_parsed({"pages": pages, "fonts": fonts or []}, o,
+                                 scorer=get_scorer(lang))
+            out["url"].append(urls[i])
+            out["warc_ts"].append(tss[i])
+            out["lang"].append(lang)
+            out["text"].append(rec["text"])
+            out["n_pages"].append(rec["n_pages"])
+            out["n_elements"].append(rec["n_elements"])
+            out["n_chars"].append(len(rec["text"]) if rec["text"] is not None
+                                  else 0)
+            out["payload_bytes"].append(payload_bytes)
+            out["error"].append(rec["error"])
+            i = j
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "warc_ts": pa.array(out["warc_ts"],
+                                    type=g.column("warc_ts").type),
+                "lang": pa.array(out["lang"], pa.string()),
+                "text": pa.array(out["text"], pa.large_string()),
+                "n_pages": pa.array(out["n_pages"], pa.int32()),
+                "n_elements": pa.array(out["n_elements"], pa.int32()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+                "payload_bytes": pa.array(out["payload_bytes"], pa.int64()),
+                "error": pa.array(out["error"], pa.string()),
+            },
+            schema=EXTRACT_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(add_bucket_compress, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(assemble_extract, batch_format="pyarrow")
+    )
