@@ -116,6 +116,20 @@ def _q_extract_summary(sf_dir: str):
     return out
 
 
+def _q_extract_markdown(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import extract_markdown_from_parquet
+    from pd3f_ray.sources.corpus import ensure_corpus
+
+    return extract_markdown_from_parquet(ensure_corpus(sf_dir, kind="docs"))
+
+
+def _q_extract_elements(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import extract_elements_from_parquet
+    from pd3f_ray.sources.corpus import ensure_corpus
+
+    return extract_elements_from_parquet(ensure_corpus(sf_dir, kind="docs"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         dedup,
@@ -130,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_docs": _q_extract_docs,
         "extract_pages": _q_extract_pages,
         "extract_summary": _q_extract_summary,
+        "extract_markdown": _q_extract_markdown,
+        "extract_elements": _q_extract_elements,
         # relational / wide ops (oracle-checked)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,

@@ -739,6 +739,7 @@ def extract_record(
     html: bytes | str,
     opts: ExtractOptions | None = None,
     scorer: DeterministicScorer | None = None,
+    markdown: bool = False,
 ) -> dict:
     """Dead-letter-safe extraction of one serialized layout payload.
 
@@ -756,14 +757,16 @@ def extract_record(
             "error": f"{type(exc).__name__}: {exc}",
             "n_pages": 0,
             "n_elements": 0,
+            "tables": [],
         }
-    return extract_parsed(layout, opts, scorer)
+    return extract_parsed(layout, opts, scorer, markdown=markdown)
 
 
 def extract_parsed(
     layout,
     opts: ExtractOptions | None = None,
     scorer: DeterministicScorer | None = None,
+    markdown: bool = False,
 ) -> dict:
     """``extract_record`` for an already-parsed layout dict (used by the
     page-table path, which assembles the dict itself and must not pay a
@@ -774,10 +777,15 @@ def extract_parsed(
         n_elements = sum(len(p.get("elements") or []) for p in layout["pages"])
         kern = DocumentKernel(layout, opts, scorer)
         return {
-            "text": kern.text(),
+            "text": kern.text(markdown=markdown),
             "error": None,
             "n_pages": n_pages,
             "n_elements": n_elements,
+            # side-channel: table CSVs ride NEXT TO the text, never merged
+            # into it (reference: extract() returns (text, tables),
+            # export.py:103; parsr_wrapper.py:91-94,112-114)
+            "tables": [t for t in layout.get("tables") or []
+                       if isinstance(t, str)],
         }
     except Exception as exc:  # noqa: BLE001 — dead-letter semantics
         return {
@@ -785,4 +793,5 @@ def extract_parsed(
             "error": f"{type(exc).__name__}: {exc}",
             "n_pages": 0,
             "n_elements": 0,
+            "tables": [],
         }

@@ -191,16 +191,24 @@ SHINGLE_K = 3
 VERIFY_THRESHOLD = 0.5
 
 
+MINHASH_BUCKETS = 1024
+
+
 def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
     """MinHash-LSH near-duplicate pairs verified by exact word-shingle
     Jaccard.
 
-    Stages: (1) per-batch shingle+sign (stateless, vectorized minhash);
-    (2) explode to (band_id, band_hash, doc_id) rows; (3) groupby band
-    buckets → candidate pairs; (4) per-pair exact verification against
-    broadcast shingle sets. At sf scales the shingle sets are broadcast
-    whole; at corpus scale verification joins signatures instead — the
-    banding/bucketing shape is the same.
+    Stages: (1) per-batch shingle+sign (stateless, vectorized minhash),
+    exploded to (band_id, band_hash, doc_id) rows; (2) ONE shuffle
+    grouped by ``band_hash % MINHASH_BUCKETS`` (grouping by the raw
+    band key made one map_groups group per distinct hash — hundreds of
+    thousands of sub-millisecond Python dispatches); inside a bucket the
+    exact-key pairing is a vectorized pandas groupby; (3) per-pair exact
+    verification against broadcast doc TEXTS — shingle sets are computed
+    lazily in the verify tasks with a per-worker cache, not in a driver
+    loop. At corpus scale the broadcast side is replaced by a join of
+    candidates back to the documents table; the banding/bucketing shape
+    is unchanged.
 
     No SQL oracle (candidate generation is probabilistic); tests verify
     recall against the brute-force pair set at small n.
@@ -226,42 +234,60 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
                 out_doc.append(did)
                 out_band.append(b)
                 out_hash.append(hash_bytes(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+        bucket = [(h ^ (b << 48)) % MINHASH_BUCKETS
+                  for b, h in zip(out_band, out_hash)]
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "band_id": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.int64()),
+                "bucket": pa.array(bucket, pa.int32()),
             }
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = np.unique(sub["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[ii].tolist())
+            out_b.extend(ids[jj].tolist())
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64")})
 
     candidates = (
         ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
+        .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # exact verification against broadcast shingle sets (small side)
+    # exact verification: broadcast the raw texts once (small side);
+    # shingle sets are computed on demand in the verify tasks and cached
+    # per worker process
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id", "text"])
-    shingle_map = {
-        did: word_shingles(txt, SHINGLE_K)
-        for did, txt in zip(tbl.column("doc_id").to_pylist(),
-                            tbl.column("text").to_pylist())
-    }
-    sh_ref = ray.put(shingle_map)
+    text_map = dict(zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("text").to_pylist()))
+    txt_ref = ray.put(text_map)
+
+    _shingle_cache: dict[int, set] = {}
+
+    def _shingles_of(did: int, texts: dict) -> set:
+        s = _shingle_cache.get(did)
+        if s is None:
+            s = word_shingles(texts[did], SHINGLE_K)
+            _shingle_cache[did] = s
+        return s
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
+        texts = ray.get(txt_ref)
         seen = set()
         id_a, id_b, sims = [], [], []
         for a, b in zip(batch.column("id_a").to_pylist(),
@@ -269,7 +295,7 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
             if (a, b) in seen:
                 continue
             seen.add((a, b))
-            sa, sb = sh[a], sh[b]
+            sa, sb = _shingles_of(a, texts), _shingles_of(b, texts)
             union = len(sa | sb)
             j = len(sa & sb) / union if union else 0.0
             if j >= threshold:

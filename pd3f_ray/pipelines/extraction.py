@@ -91,6 +91,44 @@ def extract_from_pages_parquet(
     return extract_dataset(docs, opts, **kw)
 
 
+def extract_markdown_from_parquet(
+    path: str | list[str],
+    opts: ExtractOptions | None = None,
+    **kw,
+) -> "rd.Dataset":
+    """Markdown-render variant (reference: markdown=True at
+    doc_output.py:107-125): headings prefixed with '#' * level."""
+    return read_documents(path).map_batches(
+        ExtractDocs,
+        fn_constructor_kwargs={"opts": opts, "markdown": True},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=kw.get("batch_size", 64),
+        concurrency=kw.get("concurrency") or _default_concurrency(),
+        num_cpus=kw.get("num_cpus", 0.75),
+    )
+
+
+def extract_elements_from_parquet(
+    path: str | list[str],
+    opts: ExtractOptions | None = None,
+    **kw,
+) -> "rd.Dataset":
+    """Element-level output: one row per output element in final
+    document order (ELEMENTS_SCHEMA)."""
+    from pd3f_ray.stages.extract import ExtractElements
+
+    return read_documents(path).map_batches(
+        ExtractElements,
+        fn_constructor_kwargs={"opts": opts},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=kw.get("batch_size", 64),
+        concurrency=kw.get("concurrency") or _default_concurrency(),
+        num_cpus=kw.get("num_cpus", 0.75),
+    )
+
+
 def run_resumable(
     input_path: str,
     out_dir: str,

@@ -71,6 +71,8 @@ def _gen_page_batch(batch):
         layout, _ = build_layout(i, SEED)
         for p_idx, page in enumerate(layout["pages"]):
             payload = {"page": page, "fonts": layout["fonts"]}
+            if p_idx == 0 and layout.get("tables"):
+                payload["tables"] = layout["tables"]
             urls.append(doc_url(i))
             tss.append(BASE_TS + i * 1_000_000)
             idxs.append(p_idx)
@@ -92,8 +94,12 @@ def ensure_corpus(sf_dir: str, kind: str = "docs", n_docs: int | None = None) ->
     (Ray-parallel) on first use. ``kind``: "docs" or "pages"."""
     import ray.data as rd
 
+    from pd3f_ray.sources.synth import GEN_VERSION
+
     n = n_docs if n_docs is not None else n_docs_for(sf_dir)
-    dest = os.path.join(CACHE_ROOT, f"{sf_name(sf_dir)}-{kind}-{n}-s{SEED}")
+    dest = os.path.join(
+        CACHE_ROOT, f"{sf_name(sf_dir)}-{kind}-{n}-s{SEED}-g{GEN_VERSION}"
+    )
     marker = os.path.join(dest, "_SUCCESS")
     if os.path.exists(marker):
         return dest

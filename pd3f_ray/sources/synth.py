@@ -331,6 +331,29 @@ _LANGS = ["multi", "de", "en"]
 BASE_TS = 1_600_000_000_000_000  # µs epoch base for warc_ts
 
 
+# bump when generated layout content changes — part of the corpus cache
+# key so stale /tmp caches regenerate
+GEN_VERSION = 2
+
+
+def _doc_tables(doc_idx: int, rng: random.Random) -> list[str]:
+    """~15% of docs carry 1-2 CSV tables, mirroring the reference's
+    table side-channel (parsr_wrapper.py:91-94 — tables are returned
+    next to the text, never merged into it)."""
+    if rng.random() >= 0.15:
+        return []
+    tables = []
+    for t in range(rng.randint(1, 2)):
+        n_rows = rng.randint(2, 4)
+        header = "item,qty,price"
+        rows = [
+            f"row{doc_idx % 100}-{t}-{r},{rng.randint(1, 9)},{rng.randint(10, 99)}.{rng.randint(0, 99):02d}"
+            for r in range(n_rows)
+        ]
+        tables.append("\n".join([header, *rows]) + "\n")
+    return tables
+
+
 def build_layout(doc_idx: int, seed: int = 42, scenario: str | None = None) -> tuple[dict, str]:
     """Deterministic layout for document ``doc_idx``. Returns
     (layout_dict, scenario_name)."""
@@ -343,7 +366,11 @@ def build_layout(doc_idx: int, seed: int = 42, scenario: str | None = None) -> t
     fn = dict((n, f) for n, f, _ in _SCENARIOS)[name]
     ids = _IdGen()
     pages = fn(ids, rng)
-    return {"pages": pages, "fonts": [dict(f) for f in FONTS]}, name
+    layout = {"pages": pages, "fonts": [dict(f) for f in FONTS]}
+    tables = _doc_tables(doc_idx, rng)
+    if tables:
+        layout["tables"] = tables
+    return layout, name
 
 
 def doc_url(doc_idx: int) -> str:
@@ -363,6 +390,8 @@ def generate_pages_exploded(n_docs: int, seed: int = 42) -> pa.Table:
         layout, _ = build_layout(i, seed)
         for p_idx, page in enumerate(layout["pages"]):
             payload = {"page": page, "fonts": layout["fonts"]}
+            if p_idx == 0 and layout.get("tables"):
+                payload["tables"] = layout["tables"]
             rows.append(
                 (
                     doc_url(i),

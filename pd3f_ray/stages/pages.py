@@ -71,15 +71,21 @@ def assemble_bucket(group: pa.Table) -> pa.Table:
         j = i
         pages = []
         fonts = None
+        tables = None
         while j < n and urls[j] == urls[i]:
             payload = _loads(blobs[j])
             pages.append(payload["page"])
             if fonts is None:
                 fonts = payload.get("fonts", [])
+            if tables is None and payload.get("tables"):
+                tables = payload["tables"]
             j += 1
+        doc = {"pages": pages, "fonts": fonts or []}
+        if tables:
+            doc["tables"] = tables
         out_url.append(urls[i])
         out_ts.append(tss[i])
-        out_html.append(_dumps({"pages": pages, "fonts": fonts or []}))
+        out_html.append(_dumps(doc))
         out_lang.append(langs[i])
         i = j
     return pa.table(
@@ -181,25 +187,30 @@ def extract_pages_fused(ds, opts=None, num_buckets: int = DEFAULT_NUM_BUCKETS):
 
         out = {k: [] for k in ("url", "warc_ts", "lang", "text", "n_pages",
                                "n_elements", "n_chars", "payload_bytes",
-                               "error")}
+                               "tables_csv", "n_tables", "error")}
         n = len(urls)
         i = 0
         while i < n:
             j = i
             pages = []
             fonts = None
+            tables = None
             payload_bytes = 0
             while j < n and urls[j] == urls[i]:
                 payload = _loads(_z.decompress(blobs[j]))
                 pages.append(payload["page"])
                 if fonts is None:
                     fonts = payload.get("fonts", [])
+                if tables is None and payload.get("tables"):
+                    tables = payload["tables"]
                 payload_bytes += raw_lens[j]
                 j += 1
             lang = langs[i]
             o = base if base.lang == lang else base.with_(lang=lang)
-            rec = extract_parsed({"pages": pages, "fonts": fonts or []}, o,
-                                 scorer=get_scorer(lang))
+            doc = {"pages": pages, "fonts": fonts or []}
+            if tables:
+                doc["tables"] = tables
+            rec = extract_parsed(doc, o, scorer=get_scorer(lang))
             out["url"].append(urls[i])
             out["warc_ts"].append(tss[i])
             out["lang"].append(lang)
@@ -209,6 +220,9 @@ def extract_pages_fused(ds, opts=None, num_buckets: int = DEFAULT_NUM_BUCKETS):
             out["n_chars"].append(len(rec["text"]) if rec["text"] is not None
                                   else 0)
             out["payload_bytes"].append(payload_bytes)
+            tbls = rec.get("tables") or []
+            out["tables_csv"].append("\x1d".join(tbls))
+            out["n_tables"].append(len(tbls))
             out["error"].append(rec["error"])
             i = j
         return pa.table(
@@ -222,6 +236,8 @@ def extract_pages_fused(ds, opts=None, num_buckets: int = DEFAULT_NUM_BUCKETS):
                 "n_elements": pa.array(out["n_elements"], pa.int32()),
                 "n_chars": pa.array(out["n_chars"], pa.int64()),
                 "payload_bytes": pa.array(out["payload_bytes"], pa.int64()),
+                "tables_csv": pa.array(out["tables_csv"], pa.large_string()),
+                "n_tables": pa.array(out["n_tables"], pa.int32()),
                 "error": pa.array(out["error"], pa.string()),
             },
             schema=EXTRACT_SCHEMA,

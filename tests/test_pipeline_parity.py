@@ -89,3 +89,69 @@ def test_batch_size_invariance(ray_session, small_corpus_dir, oracle):
                                         concurrency=(1, 2)))
     for url, (text, _) in oracle.items():
         assert got[url][0] == text
+
+
+def test_markdown_variant(ray_session, small_corpus_dir):
+    """Markdown render prefixes headings with '#'*level and otherwise
+    matches the kernel's markdown output per url."""
+    import json
+
+    from pd3f_ray.pipelines.extraction import extract_markdown_from_parquet
+
+    got = _collect(extract_markdown_from_parquet(small_corpus_dir))
+    assert len(got) == N_DOCS
+    for i in range(N_DOCS):
+        layout, _ = build_layout(i, 42)
+        lang = ["multi", "de", "en"][i % 3]
+        rec = extract_record(
+            json.dumps(layout, ensure_ascii=False).encode(),
+            ExtractOptions.experimental(lang=lang),
+            scorer=DeterministicScorer(lang),
+            markdown=True,
+        )
+        assert got[doc_url(i)] == (rec["text"], rec["error"])
+
+
+def test_elements_explode(ray_session, small_corpus_dir):
+    """Element rows concatenate back to the document text (body section,
+    in elem_idx order), and dead-letter docs yield error rows."""
+    import pandas as pd
+
+    from pd3f_ray.pipelines.extraction import (
+        extract_elements_from_parquet,
+        extract_from_parquet,
+    )
+
+    el = extract_elements_from_parquet(small_corpus_dir).to_pandas()
+    docs = extract_from_parquet(small_corpus_dir).to_pandas()
+    assert set(el["section"]) <= {"header", "body", "footer", "error"}
+    ok_docs = docs[docs["error"].isnull()]
+    for _, d in ok_docs.head(20).iterrows():
+        mine = el[(el["url"] == d["url"]) & (el["section"] != "error")]
+        assert (mine["error"].isnull()).all()
+        # every element's rendered text must appear in the document text
+        for t in mine["text"]:
+            assert t.strip() == "" or t.strip("\n") in d["text"] or t in d["text"]
+    err_docs = docs[docs["error"].notnull()]
+    if len(err_docs):
+        err_el = el[el["section"] == "error"]
+        assert set(err_docs["url"]) == set(err_el["url"])
+
+
+def test_tables_side_channel(ray_session, small_corpus_dir):
+    """Table CSVs ride next to the text (reference: extract() returns
+    (text, tables)) and are never merged into it."""
+    from pd3f_ray.pipelines.extraction import extract_from_parquet
+
+    df = extract_from_parquet(small_corpus_dir).to_pandas()
+    with_tables = df[df["n_tables"] > 0]
+    assert len(with_tables) > 0, "corpus should include docs with tables"
+    for _, r in with_tables.iterrows():
+        tables = r["tables_csv"].split("\x1d")
+        assert len(tables) == r["n_tables"]
+        for t in tables:
+            assert t.startswith("item,qty,price")
+            if r["text"]:
+                assert t not in r["text"]
+    without = df[(df["n_tables"] == 0) & df["error"].isnull()]
+    assert (without["tables_csv"] == "").all()
