@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         similarity,
         textstats,
+        windows,
     )
 
     return {
@@ -151,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "segment_order_stats": relational.segment_order_stats,
         "events_hourly": relational.events_hourly,
+        # windowed / order-dependent (bucketed shuffle + in-group sort)
+        "user_sessions": windows.user_sessions,
+        "purchase_attribution": windows.purchase_attribution,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -179,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         relational,
         similarity,
         textstats,
+        windows,
     )
 
     return {
@@ -186,6 +191,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "user_sessions": windows.USER_SESSIONS_SQL,
+        "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),

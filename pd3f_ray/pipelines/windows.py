@@ -1,0 +1,153 @@
+"""Windowed / order-dependent operators over the ``events`` table.
+
+Ray Data has no native session windows or as-of joins; both are
+expressed here as the engine's standard bucketed-shuffle pattern: ONE
+``groupby(user_id % B)`` exchange, then vectorized per-user logic inside
+the group (sort by (ts, event_id) → gap scan / prior-index scan). The
+bucket count B bounds per-group memory at scale while keeping group
+count ≪ key cardinality (cf. stages/pages.py for the same pattern).
+
+Both are oracle-checked against DuckDB window functions; money-like
+sums travel as integer cents so float summation order can't break the
+value-hash comparison.
+
+Reference parity note: the reference (pd3f-core) has no windows — these
+belong to the engine-level training-data op families (SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+SESSION_GAP_MIN = 30
+WINDOW_BUCKETS = 256
+
+
+def _events(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=columns)
+
+
+def _bucketed(ds, num_buckets: int = WINDOW_BUCKETS):
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        b = pa.array((uid % num_buckets).astype(np.int32), pa.int32())
+        return batch.append_column("bucket", b)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("bucket")
+
+
+def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN):
+    """Per-user session windows: a session breaks after ``gap_min``
+    minutes of inactivity. Output one row per session:
+    (user_id, session_id, session_start, session_end, n_events,
+    sum_value_cents), session_id numbered per user in time order."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+    gap_us = gap_min * 60 * 1_000_000
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("user_id", "session_id", "session_start",
+                               "session_end", "n_events", "sum_value_cents")}
+        for uid, sub in group.groupby("user_id", sort=False):
+            sub = sub.sort_values(["ts", "event_id"])
+            ts = sub["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            cents = np.rint(sub["value"].to_numpy() * 100).astype(np.int64)
+            new_sess = np.ones(len(ts), dtype=np.int64)
+            if len(ts) > 1:
+                new_sess[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+            sess_ids = np.cumsum(new_sess)  # 1-based per user
+            for sid in np.unique(sess_ids):
+                m = sess_ids == sid
+                out["user_id"].append(int(uid))
+                out["session_id"].append(int(sid))
+                out["session_start"].append(
+                    pd.Timestamp(ts[m].min(), unit="us"))
+                out["session_end"].append(pd.Timestamp(ts[m].max(), unit="us"))
+                out["n_events"].append(int(m.sum()))
+                out["sum_value_cents"].append(int(cents[m].sum()))
+        return pd.DataFrame(out)
+
+    return _bucketed(ds).map_groups(
+        lambda g: sessions(g.drop(columns=["bucket"])),
+        batch_format="pandas",
+    )
+
+
+USER_SESSIONS_SQL = f"""
+WITH d AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id,
+       session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+def purchase_attribution(sf_dir: str):
+    """As-of lookup within the event stream: for every 'purchase' event,
+    the same user's most recent STRICTLY PRIOR non-purchase event
+    (ties broken by event_id). Output (event_id, prior_event_id) with
+    prior_event_id null when no prior event exists."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def attribute(group: pd.DataFrame) -> pd.DataFrame:
+        out_e, out_p = [], []
+        for _, sub in group.groupby("user_id", sort=False):
+            sub = sub.sort_values(["ts", "event_id"])
+            etypes = sub["event_type"].to_numpy()
+            ids = sub["event_id"].to_numpy()
+            # index of the latest non-purchase row at-or-before each row
+            non_p = etypes != "purchase"
+            idx = np.where(non_p, np.arange(len(sub)), -1)
+            last_np = np.maximum.accumulate(idx)
+            for i in np.nonzero(etypes == "purchase")[0]:
+                out_e.append(int(ids[i]))
+                # strictly prior: positions < i — last_np[i] is at-or-
+                # before, and position i itself is a purchase, so it is
+                # automatically strictly prior
+                out_p.append(int(ids[last_np[i]]) if last_np[i] >= 0 else None)
+        return pd.DataFrame({
+            "event_id": pd.Series(out_e, dtype="int64"),
+            "prior_event_id": pd.Series(out_p, dtype="Int64"),
+        })
+
+    return _bucketed(ds).map_groups(
+        lambda g: attribute(g.drop(columns=["bucket"])),
+        batch_format="pandas",
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+SELECT p.event_id,
+       (SELECT e.event_id
+          FROM events e
+         WHERE e.user_id = p.user_id
+           AND e.event_type != 'purchase'
+           AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
+         ORDER BY e.ts DESC, e.event_id DESC
+         LIMIT 1) AS prior_event_id
+FROM events p
+WHERE p.event_type = 'purchase'
+"""

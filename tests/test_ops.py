@@ -150,3 +150,18 @@ def test_lang_id_oracle(ray_session, con):
     from pd3f_ray.pipelines.textstats import LANG_ID_SQL, lang_id
 
     _match(lang_id(SF), LANG_ID_SQL, con)
+
+
+def test_user_sessions_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import USER_SESSIONS_SQL, user_sessions
+
+    _match(user_sessions(SF), USER_SESSIONS_SQL, con)
+
+
+def test_purchase_attribution_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import (
+        PURCHASE_ATTRIBUTION_SQL,
+        purchase_attribution,
+    )
+
+    _match(purchase_attribution(SF), PURCHASE_ATTRIBUTION_SQL, con)

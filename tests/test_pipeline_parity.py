@@ -155,3 +155,57 @@ def test_tables_side_channel(ray_session, small_corpus_dir):
                 assert t not in r["text"]
     without = df[(df["n_tables"] == 0) & df["error"].isnull()]
     assert (without["tables_csv"] == "").all()
+
+
+def test_skewed_giant_doc_pages_path(ray_session, tmp_path):
+    """Skew: one 300-page document among 1-page docs, shuffled page rows,
+    through the fused page-table path — output byte-identical to the
+    kernel run on the assembled layout."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.extraction import extract_from_pages_parquet
+    from pd3f_ray.sources.synth import BASE_TS, build_layout
+
+    # giant doc: replicate a plain scenario page 300×, each page with
+    # distinct element content ids don't matter for the kernel
+    giant, _ = build_layout(0, 42, scenario="plain")
+    giant_pages = [giant["pages"][0]] * 300
+    giant_layout = {"pages": giant_pages, "fonts": giant["fonts"]}
+
+    rows = []
+    for p_idx, page in enumerate(giant_pages):
+        payload = {"page": page, "fonts": giant["fonts"]}
+        rows.append(("https://example.org/giant", BASE_TS, p_idx,
+                     json.dumps(payload, ensure_ascii=False).encode(), "en"))
+    for i in range(1, 40):
+        lay, _ = build_layout(i, 42, scenario="plain")
+        payload = {"page": lay["pages"][0], "fonts": lay["fonts"]}
+        rows.append((f"https://example.org/small/{i}", BASE_TS + i, 0,
+                     json.dumps(payload, ensure_ascii=False).encode(), "en"))
+    random.Random(7).shuffle(rows)
+    urls, tss, idxs, blobs, langs = zip(*rows)
+    tbl = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "warc_ts": pa.array(tss, pa.timestamp("us")),
+        "page_idx": pa.array(idxs, pa.int32()),
+        "page_json": pa.array(blobs, pa.binary()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    path = tmp_path / "pages"
+    path.mkdir()
+    pq.write_table(tbl, path / "part0.parquet")
+
+    got = _collect(extract_from_pages_parquet(str(path)))
+    assert len(got) == 40
+
+    oracle_rec = extract_record(
+        json.dumps(giant_layout, ensure_ascii=False).encode(),
+        ExtractOptions.experimental(lang="en"),
+        scorer=DeterministicScorer("en"),
+    )
+    text, err = got["https://example.org/giant"]
+    assert err is None
+    assert text == oracle_rec["text"]
