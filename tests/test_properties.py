@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the pure kernel primitives —
+the functions whose exactness the byte-parity contract rests on."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pd3f_ray.core.geom import bbox_similarity
+from pd3f_ray.core.textnorm import (
+    char_bag_jaccard,
+    clean_text,
+    fix_text,
+    has_alnum,
+    strip_line_end_spaces,
+)
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+)
+ascii_st = st.text(alphabet=string.printable, max_size=80)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_st)
+def test_fix_text_idempotent(s):
+    assert fix_text(fix_text(s)) == fix_text(s)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ascii_st)
+def test_fix_text_identity_on_ascii(s):
+    assert fix_text(s) == s
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_st)
+def test_clean_text_idempotent(s):
+    once = clean_text(s, no_punct=True)
+    assert clean_text(once, no_punct=True) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_st)
+def test_clean_text_no_punct_strips_ascii_punct(s):
+    out = clean_text(s, no_punct=True)
+    assert not any(c in string.punctuation for c in out)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_st)
+def test_has_alnum_matches_slow_path(s):
+    """The isascii fast path must agree with the cleaned-text definition."""
+    slow = any(c.isalnum() for c in clean_text(s, no_punct=True))
+    assert has_alnum(s) == slow
+
+
+@settings(max_examples=300, deadline=None)
+@given(text_st, text_st)
+def test_char_bag_jaccard_bounds_and_symmetry(a, b):
+    j = char_bag_jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert j == char_bag_jaccard(b, a)
+    assert char_bag_jaccard(a, a) == (1.0 if a or True else 1.0)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=" x", max_size=30))
+def test_strip_line_end_spaces_properties(body):
+    s = body + "\n"
+    out = strip_line_end_spaces(s)
+    assert out.endswith("\n")
+    assert not out[:-1].endswith(" ")
+    # only trailing spaces before the newline may be removed
+    assert out[:-1] == body.rstrip(" ") or out == s
+
+
+boxes = st.tuples(
+    st.floats(0, 1000, allow_nan=False),
+    st.floats(0, 1000, allow_nan=False),
+    st.floats(0.1, 500, allow_nan=False),
+    st.floats(0.1, 500, allow_nan=False),
+)
+
+
+def _pts(box):
+    t, l, w, h = box
+    return [(l, t), (l + w, t), (l, t + h), (l + w, t + h)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(boxes, boxes)
+def test_bbox_similarity_bounds_and_symmetry(b1, b2):
+    s = bbox_similarity(_pts(b1), _pts(b2))
+    assert 0.0 <= s <= 1.0 + 1e-9
+    assert abs(s - bbox_similarity(_pts(b2), _pts(b1))) < 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(boxes)
+def test_bbox_similarity_self_is_one(b):
+    assert abs(bbox_similarity(_pts(b), _pts(b)) - 1.0) < 1e-12
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="ab -", min_size=1, max_size=12),
+                min_size=1, max_size=8))
+def test_scorer_deterministic_across_instances(words):
+    from pd3f_ray.core.scorer import DeterministicScorer
+
+    a = DeterministicScorer("multi")
+    b = DeterministicScorer("multi")
+    text = " ".join(words)
+    assert a.single_score(text) == b.single_score(text)
