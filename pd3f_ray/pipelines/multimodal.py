@@ -256,8 +256,8 @@ SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
                        WHEN 1 THEN 'audio'
                        ELSE 'video' END AS kind,
        count(*) AS n_media,
-       sum({PAYLOAD_BASE} + (doc_id % {PAYLOAD_MOD}) * {PAYLOAD_STEP})
-           AS sum_bytes
+       CAST(sum({PAYLOAD_BASE} + (doc_id % {PAYLOAD_MOD}) * {PAYLOAD_STEP})
+            AS BIGINT) AS sum_bytes
 FROM documents
 GROUP BY 1
 """

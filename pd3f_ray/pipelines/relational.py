@@ -129,9 +129,9 @@ Q1_SQL = """
 SELECT l_returnflag,
        l_linestatus,
        count(*)                                            AS n_rows,
-       sum(CAST(l_quantity AS BIGINT))                     AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT))   AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)     AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
                                                            AS sum_disc_cents
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -219,7 +219,7 @@ def segment_order_stats(sf_dir: str):
 SEGMENT_ORDER_SQL = """
 SELECT c.c_mktsegment,
        count(*)                                        AS n_orders,
-       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_total_cents
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -276,7 +276,7 @@ EVENTS_HOURLY_SQL = """
 SELECT event_type,
        epoch_us(ts) // 3600000000                     AS window_id,
        count(*)                                       AS n_events,
-       sum(CAST(round(value * 1000000) AS BIGINT))    AS sum_value_micros
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
 FROM events
 GROUP BY event_type, window_id
 """

@@ -127,9 +127,9 @@ def lang_quality(sf_dir: str):
 LANG_QUALITY_SQL = """
 SELECT lang,
        count(*)                                AS n_docs,
-       sum(len(string_split(text, ' ')))       AS sum_tokens,
-       sum(length(text))                       AS sum_chars,
-       sum(CASE WHEN length(text) > 300 THEN 1 ELSE 0 END) AS n_long
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(sum(length(text)) AS BIGINT)      AS sum_chars,
+       CAST(sum(CASE WHEN length(text) > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
 FROM documents
 GROUP BY lang
 """

@@ -89,8 +89,8 @@ WITH d AS (
 ),
 s AS (
   SELECT user_id, ts, value,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM d
 )
 SELECT user_id,
@@ -109,7 +109,9 @@ def purchase_attribution(sf_dir: str):
     """As-of lookup within the event stream: for every 'purchase' event,
     the same user's most recent STRICTLY PRIOR non-purchase event
     (ties broken by event_id). Output (event_id, prior_event_id) with
-    prior_event_id null when no prior event exists."""
+    prior_event_id = -1 when no prior event exists (a sentinel instead
+    of NULL so both engines emit plain int64 — nullable columns come
+    back as float64 from the SQL oracle and break value-hash compares)."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
     def attribute(group: pd.DataFrame) -> pd.DataFrame:
@@ -127,10 +129,10 @@ def purchase_attribution(sf_dir: str):
                 # strictly prior: positions < i — last_np[i] is at-or-
                 # before, and position i itself is a purchase, so it is
                 # automatically strictly prior
-                out_p.append(int(ids[last_np[i]]) if last_np[i] >= 0 else None)
+                out_p.append(int(ids[last_np[i]]) if last_np[i] >= 0 else -1)
         return pd.DataFrame({
             "event_id": pd.Series(out_e, dtype="int64"),
-            "prior_event_id": pd.Series(out_p, dtype="Int64"),
+            "prior_event_id": pd.Series(out_p, dtype="int64"),
         })
 
     return _bucketed(ds).map_groups(
@@ -141,13 +143,13 @@ def purchase_attribution(sf_dir: str):
 
 PURCHASE_ATTRIBUTION_SQL = """
 SELECT p.event_id,
-       (SELECT e.event_id
+       COALESCE((SELECT e.event_id
           FROM events e
          WHERE e.user_id = p.user_id
            AND e.event_type != 'purchase'
            AND (e.ts < p.ts OR (e.ts = p.ts AND e.event_id < p.event_id))
          ORDER BY e.ts DESC, e.event_id DESC
-         LIMIT 1) AS prior_event_id
+         LIMIT 1), -1) AS prior_event_id
 FROM events p
 WHERE p.event_type = 'purchase'
 """
