@@ -129,11 +129,31 @@ def extract_elements_from_parquet(
     )
 
 
+def _add_url_bucket(num_buckets: int):
+    """Map-side url-hash bucket column (crc32 — stable across processes)
+    for hash-partitioned output: no extra shuffle, the partitioned write
+    splits each block by the column value."""
+    import zlib
+
+    import pyarrow as pa
+
+    def add(batch: pa.Table) -> pa.Table:
+        b = pa.array(
+            [zlib.crc32(u.encode()) % num_buckets
+             for u in batch.column("url").to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("bucket", b)
+
+    return add
+
+
 def run_resumable(
     input_path: str,
     out_dir: str,
     opts: ExtractOptions | None = None,
     num_shards: int = 8,
+    num_buckets: int = 16,
     **kw,
 ) -> dict:
     """Sharded, resumable extraction run.
@@ -142,7 +162,10 @@ def run_resumable(
     shard is extracted as its own streaming Dataset execution and
     committed atomically (temp dir → rename → manifest append). A rerun
     skips shards already in the manifest, so a killed job loses at most
-    one shard of work. Returns summary metrics.
+    one shard of work. Output inside each shard is hash-partitioned by
+    url bucket (``bucket=NN/`` dirs, north_rule's "partitions by url
+    hash") — map-side column + partitioned write, no shuffle. Returns
+    summary metrics.
     """
     import pyarrow.dataset as pads
 
@@ -166,7 +189,12 @@ def run_resumable(
 
             shutil.rmtree(tmp)
         ds = extract_from_parquet(shard_files, opts, **kw)
-        ds.write_parquet(tmp)
+        if num_buckets:
+            ds = ds.map_batches(_add_url_bucket(num_buckets),
+                                batch_format="pyarrow")
+            ds.write_parquet(tmp, partition_cols=["bucket"])
+        else:
+            ds.write_parquet(tmp)
         # metadata-only row count + error count over the written shard
         written = pads.dataset(tmp, format="parquet")
         rows = written.count_rows()

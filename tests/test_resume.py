@@ -9,7 +9,10 @@ import pytest
 
 
 def _read_sorted(out_dir):
-    files = sorted(glob.glob(os.path.join(out_dir, "shard=*", "*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(out_dir, "shard=*", "**", "*.parquet"),
+                  recursive=True)
+    )
     ds = pads.dataset(files, format="parquet")
     t = ds.to_table(columns=["url", "text", "error"])
     rows = sorted(t.to_pylist(), key=lambda r: r["url"])
@@ -27,6 +30,8 @@ def test_resume_skips_done_and_matches_full_run(ray_session, small_corpus_dir, t
     assert stats_full["shards_done"] == 3
     assert stats_full["rows"] == 60
     assert stats_full["errors"] > 0  # dead letters counted in metrics
+    # output is hash-partitioned by url bucket inside each shard
+    assert glob.glob(os.path.join(full_dir, "shard=*", "bucket=*"))
 
     # simulate a crash: run only shard 0 by truncating the plan — emulate
     # by running full, then deleting two shards + their manifest lines
