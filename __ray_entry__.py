@@ -133,6 +133,7 @@ def _q_extract_elements(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         dedup,
+        joins,
         multimodal,
         relational,
         similarity,
@@ -152,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "segment_order_stats": relational.segment_order_stats,
         "events_hourly": relational.events_hourly,
+        # joins (broadcast + bucketed hash join)
+        "nation_revenue": joins.nation_revenue,
+        "supplier_part_join": joins.supplier_part_join,
         # windowed / order-dependent (bucketed shuffle + in-group sort)
         "user_sessions": windows.user_sessions,
         "purchase_attribution": windows.purchase_attribution,
@@ -179,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pd3f_ray.pipelines import (
         dedup,
+        joins,
         multimodal,
         relational,
         similarity,
@@ -191,6 +196,8 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "nation_revenue": joins.NATION_REVENUE_SQL,
+        "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

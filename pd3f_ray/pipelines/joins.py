@@ -1,0 +1,211 @@
+"""Distributed joins.
+
+Ray Data (2.49) has no native Dataset join, so this module supplies the
+two join strategies a 100 TB pipeline needs, both oracle-checked:
+
+- **broadcast join** (small side ⋈ big side): the small table is
+  ``ray.put`` once and probed as a dict inside ``map_batches`` — zero
+  shuffle, the pattern used for dimension tables (nation, customer).
+- **bucketed hash join** (big ⋈ big): both sides are tagged, given a
+  stable ``hash(key) % B`` bucket column, unioned, and co-partitioned by
+  ONE ``groupby(bucket)`` exchange; inside each group a vectorized
+  pandas merge joins the sides. B bounds per-group memory; skewed keys
+  spread over B only if salted — the knob is exposed.
+
+``nation_revenue`` composes both: lineitem ⋈ orders via the bucketed
+hash join (the two big tables), then orders→customer→nation via a
+broadcast composite lookup, with revenue pre-aggregated inside the join
+groups BEFORE the final tiny groupby — the partial-aggregation pattern
+that keeps the wide exchange small.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+JOIN_BUCKETS = 128
+
+
+def _pq(sf_dir: str, table: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, table + ".parquet"),
+                           columns=columns)
+
+
+def _stable_bucket(arr: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic cross-process bucket for int64 keys (crc32 of the
+    little-endian bytes; NOT Python hash(), which is salted)."""
+    out = np.empty(len(arr), dtype=np.int32)
+    for i, v in enumerate(arr):
+        out[i] = zlib.crc32(int(v).to_bytes(8, "little")) % num_buckets
+    return out
+
+
+def hash_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    num_buckets: int = JOIN_BUCKETS,
+) -> "rd.Dataset":
+    """Inner join of two Datasets on int64 keys via bucketed
+    co-partitioning (one shuffle). Column names must be disjoint apart
+    from the keys."""
+
+    def tag(side: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).to_numpy(zero_copy_only=False)
+            b = pa.array(_stable_bucket(keys, num_buckets), pa.int32())
+            batch = batch.append_column("__bucket", b)
+            return batch.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string())
+            )
+        return fn
+
+    tagged = left.map_batches(tag("l", left_key), batch_format="pyarrow").union(
+        right.map_batches(tag("r", right_key), batch_format="pyarrow")
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "l"].dropna(axis=1, how="all")
+        r = group[group["__side"] == "r"].dropna(axis=1, how="all")
+        l = l.drop(columns=["__side", "__bucket"], errors="ignore")
+        r = r.drop(columns=["__side", "__bucket"], errors="ignore")
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame()
+        return l.merge(r, left_on=left_key, right_on=right_key)
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def nation_revenue(sf_dir: str, num_buckets: int = JOIN_BUCKETS):
+    """Revenue by customer nation:
+    lineitem ⋈ orders (bucketed hash join on orderkey, revenue
+    pre-aggregated per order inside the join groups) → broadcast
+    custkey→nation lookup → tiny groupby(n_name). Output
+    (n_name, revenue_cents)."""
+    # broadcast side: custkey → nation name (customer ⋈ nation on the
+    # driver — dimension-scale, 25 + O(SF·150k) rows)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nkey_to_name = dict(zip(nat.column("n_nationkey").to_pylist(),
+                            nat.column("n_name").to_pylist()))
+    cust_to_nation = {
+        c: nkey_to_name[n]
+        for c, n in zip(cust.column("c_custkey").to_pylist(),
+                        cust.column("c_nationkey").to_pylist())
+    }
+    lookup_ref = ray.put(cust_to_nation)
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    lineitem = _pq(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    # pre-aggregate lineitem revenue per orderkey inside map_batches so
+    # the join exchange carries one row per (block, orderkey), not one
+    # per lineitem
+    def pre_agg(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        # DuckDB round() is half-away-from-zero; np.rint is half-even —
+        # match DuckDB (cf. relational._round_opts)
+        v = price * (1.0 - disc) * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": ok, "cents": cents})
+        g = df.groupby("l_orderkey", as_index=False)["cents"].sum()
+        return pa.table({
+            "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+            "revenue_cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+        })
+
+    rev = lineitem.map_batches(pre_agg, batch_format="pyarrow")
+
+    joined = hash_join(rev, orders, "l_orderkey", "o_orderkey",
+                       num_buckets=num_buckets)
+
+    def to_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        custs = batch.column("o_custkey").to_pylist()
+        names = [lookup[c] for c in custs]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "revenue_cents": batch.column("revenue_cents"),
+        })
+
+    return (
+        joined.map_batches(to_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+NATION_REVENUE_SQL = """
+SELECT n.n_name AS n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def supplier_part_join(sf_dir: str, num_buckets: int = 32):
+    """Pure bucketed hash-join exercise on two mid-size tables:
+    lineitem ⋈ supplier on suppkey, counting lineitems and summing
+    quantity per supplier nation. Output (s_nationkey, n_lineitems,
+    sum_qty)."""
+    supplier = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    lineitem = _pq(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        qty = (np.sign(q) * np.floor(np.abs(q) + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"l_suppkey": sk, "qty": qty})
+        g = df.groupby("l_suppkey", as_index=False).agg(
+            n_lineitems=("qty", "size"), sum_qty=("qty", "sum"))
+        return pa.table({
+            "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64()),
+            "n_lineitems": pa.array(g["n_lineitems"].to_numpy(), pa.int64()),
+            "sum_qty": pa.array(g["sum_qty"].to_numpy(), pa.int64()),
+        })
+
+    pre_ds = lineitem.map_batches(pre, batch_format="pyarrow")
+    joined = hash_join(pre_ds, supplier, "l_suppkey", "s_suppkey",
+                       num_buckets=num_buckets)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["s_nationkey", "n_lineitems", "sum_qty"])
+
+    return (
+        joined.map_batches(project, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .aggregate(
+            Sum("n_lineitems", alias_name="n_lineitems"),
+            Sum("sum_qty", alias_name="sum_qty"),
+        )
+    )
+
+
+SUPPLIER_PART_SQL = """
+SELECT s.s_nationkey AS s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+"""

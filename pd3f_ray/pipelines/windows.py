@@ -56,7 +56,9 @@ def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN):
         for uid, sub in group.groupby("user_id", sort=False):
             sub = sub.sort_values(["ts", "event_id"])
             ts = sub["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            cents = np.rint(sub["value"].to_numpy() * 100).astype(np.int64)
+            v = sub["value"].to_numpy() * 100
+            # DuckDB round() is half-away-from-zero (np.rint is half-even)
+            cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
             new_sess = np.ones(len(ts), dtype=np.int64)
             if len(ts) > 1:
                 new_sess[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)

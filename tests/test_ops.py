@@ -20,7 +20,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def con():
     c = duckdb.connect()
     for t in ("lineitem", "orders", "customer", "events", "documents",
-              "embeddings"):
+              "embeddings", "nation", "supplier"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(SF, t + '.parquet')}')"
@@ -165,3 +165,15 @@ def test_purchase_attribution_oracle(ray_session, con):
     )
 
     _match(purchase_attribution(SF), PURCHASE_ATTRIBUTION_SQL, con)
+
+
+def test_nation_revenue_oracle(ray_session, con):
+    from pd3f_ray.pipelines.joins import NATION_REVENUE_SQL, nation_revenue
+
+    _match(nation_revenue(SF), NATION_REVENUE_SQL, con)
+
+
+def test_supplier_join_oracle(ray_session, con):
+    from pd3f_ray.pipelines.joins import SUPPLIER_PART_SQL, supplier_part_join
+
+    _match(supplier_part_join(SF), SUPPLIER_PART_SQL, con)
