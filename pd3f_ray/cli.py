@@ -1,0 +1,105 @@
+"""Job entry point: ``python -m pd3f_ray.cli <command> ...``.
+
+This is the ``ray job submit`` surface — the one place (besides bench.py
+and the test fixture) that owns a Ray session. Library code never calls
+``ray.init()``.
+
+Commands:
+  extract IN OUT   resumable sharded extraction of a document table
+                   (--pages for page-table input, --markdown for the
+                   markdown render, --shards/--buckets for layout)
+  synth OUT        write a deterministic synthetic corpus (--docs N,
+                   --pages for the exploded page-table variant)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False,
+              "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kw["num_cpus"] = num_cpus
+        ray.init(**kw)
+
+
+def cmd_extract(args) -> dict:
+    from pd3f_ray.core.config import ExtractOptions
+    from pd3f_ray.pipelines.extraction import (
+        extract_from_pages_parquet,
+        run_resumable,
+    )
+
+    _init_ray(args.cpus)
+    opts = ExtractOptions.experimental(lang=args.lang, fast=args.fast)
+    if args.pages:
+        ds = extract_from_pages_parquet(args.input, opts)
+        ds.write_parquet(args.output)
+        import pyarrow.dataset as pads
+
+        written = pads.dataset(args.output, format="parquet")
+        return {"rows": written.count_rows(), "out": args.output}
+    return run_resumable(args.input, args.output, opts,
+                         num_shards=args.shards, num_buckets=args.buckets,
+                         markdown=args.markdown)
+
+
+def cmd_synth(args) -> dict:
+    from pd3f_ray.sources.synth import generate_pages_exploded, write_corpus
+
+    if args.pages:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.output, exist_ok=True)
+        tbl = generate_pages_exploded(args.docs, seed=args.seed)
+        pq.write_table(tbl, f"{args.output}/pages.parquet")
+        return {"rows": tbl.num_rows, "out": args.output, "kind": "pages"}
+    files = write_corpus(args.output, n_docs=args.docs, seed=args.seed)
+    return {"files": len(files), "docs": args.docs, "out": args.output,
+            "kind": "docs"}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="pd3f_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("extract", help="resumable sharded extraction")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--pages", action="store_true")
+    e.add_argument("--markdown", action="store_true")
+    e.add_argument("--lang", default="multi")
+    e.add_argument("--fast", action="store_true")
+    e.add_argument("--shards", type=int, default=8)
+    e.add_argument("--buckets", type=int, default=16)
+    e.add_argument("--cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_extract)
+
+    s = sub.add_parser("synth", help="write a synthetic corpus")
+    s.add_argument("output")
+    s.add_argument("--docs", type=int, default=2000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--pages", action="store_true")
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    result = args.fn(args)
+    print(json.dumps(result))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,11 +46,12 @@ def extract_dataset(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 64,
     num_cpus: float = 0.75,
+    markdown: bool = False,
 ) -> "rd.Dataset":
     """Document-table Dataset → extracted Dataset (EXTRACT_SCHEMA)."""
     return ds.map_batches(
         ExtractDocs,
-        fn_constructor_kwargs={"opts": opts},
+        fn_constructor_kwargs={"opts": opts, "markdown": markdown},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -98,15 +99,7 @@ def extract_markdown_from_parquet(
 ) -> "rd.Dataset":
     """Markdown-render variant (reference: markdown=True at
     doc_output.py:107-125): headings prefixed with '#' * level."""
-    return read_documents(path).map_batches(
-        ExtractDocs,
-        fn_constructor_kwargs={"opts": opts, "markdown": True},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=kw.get("batch_size", 64),
-        concurrency=kw.get("concurrency") or _default_concurrency(),
-        num_cpus=kw.get("num_cpus", 0.75),
-    )
+    return extract_dataset(read_documents(path), opts, markdown=True, **kw)
 
 
 def extract_elements_from_parquet(

@@ -60,3 +60,28 @@ def test_missing_input_raises(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         run_resumable(str(tmp_path / "nope"), str(tmp_path / "out"))
+
+
+def test_cli_extract_roundtrip(tmp_path):
+    """The job-submit surface: synth a corpus, extract it, verify rows.
+    Runs in subprocesses (the CLI owns its own Ray session)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "out")
+    env_cwd = "/root/repo"
+
+    r1 = subprocess.run(
+        [sys.executable, "-m", "pd3f_ray.cli", "synth", corpus, "--docs", "80"],
+        capture_output=True, text=True, cwd=env_cwd, check=True)
+    assert _json.loads(r1.stdout.strip().splitlines()[-1])["docs"] == 80
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "pd3f_ray.cli", "extract", corpus, out,
+         "--shards", "1", "--cpus", "4"],
+        capture_output=True, text=True, cwd=env_cwd, check=True)
+    stats = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats["rows"] == 80
+    assert stats["shards_done"] == 1
