@@ -112,3 +112,48 @@ def test_scorer_deterministic_across_instances(words):
     b = DeterministicScorer("multi")
     text = " ".join(words)
     assert a.single_score(text) == b.single_score(text)
+
+
+# --- dead-letter guarantee: extract_record never raises ------------------
+
+json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**6, 10**6),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.sampled_from(["pages", "elements", "content", "box", "type",
+                             "font", "fonts", "id", "properties", "t", "l",
+                             "w", "h", "size", "level", "x"]),
+            children, max_size=5),
+    ),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_values)
+def test_extract_record_never_raises(payload):
+    import json
+
+    from pd3f_ray.core.config import ExtractOptions
+    from pd3f_ray.core.kernel import extract_record
+
+    rec = extract_record(json.dumps(payload).encode(),
+                         ExtractOptions.experimental())
+    assert set(rec) >= {"text", "error", "n_pages", "n_elements", "tables"}
+    assert (rec["text"] is None) == (rec["error"] is not None)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=64))
+def test_extract_record_garbage_bytes_dead_letter(blob):
+    from pd3f_ray.core.config import ExtractOptions
+    from pd3f_ray.core.kernel import extract_record
+
+    rec = extract_record(blob, ExtractOptions.experimental())
+    assert rec["error"] is not None or rec["text"] is not None
