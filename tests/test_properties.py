@@ -157,3 +157,34 @@ def test_extract_record_garbage_bytes_dead_letter(blob):
 
     rec = extract_record(blob, ExtractOptions.experimental())
     assert rec["error"] is not None or rec["text"] is not None
+
+
+# --- hash_join vs pandas merge on random tables ---------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.integers(0, 1000)),
+             min_size=0, max_size=40),
+    st.lists(st.tuples(st.integers(0, 30), st.integers(0, 1000)),
+             min_size=0, max_size=40),
+)
+def test_hash_join_matches_pandas(ray_session, left_rows, right_rows):
+    import pandas as pd
+    import ray.data as rd
+
+    from pd3f_ray.pipelines.joins import hash_join
+
+    ldf = pd.DataFrame(left_rows, columns=["lk", "lv"], dtype="int64")
+    rdf = pd.DataFrame(right_rows, columns=["rk", "rv"], dtype="int64")
+    want = ldf.merge(rdf, left_on="lk", right_on="rk")
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+
+    got = hash_join(
+        rd.from_pandas(ldf), rd.from_pandas(rdf), "lk", "rk", num_buckets=7
+    ).to_pandas()
+    if len(got) == 0:
+        assert len(want) == 0
+        return
+    got = got[["lk", "lv", "rk", "rv"]].astype("int64")
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
