@@ -69,17 +69,35 @@ def hash_join(
             )
         return fn
 
+    # column lists + dtypes captured at plan time: the union pads each
+    # side's missing columns with nulls, which silently floats int64
+    # columns in the pandas groups — select by name and cast back so the
+    # merge output schema is stable and integral keys stay integral
+    def _dtypes(schema):
+        # arrow types expose to_pandas_dtype(); pandas-block schemas
+        # already hold numpy dtypes
+        return {
+            name: (t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t)
+            for name, t in zip(schema.names, schema.types)
+        }
+
+    left_dt = _dtypes(left.schema().base_schema)
+    right_dt = _dtypes(right.schema().base_schema)
+    left_cols = list(left_dt)
+    right_cols = list(right_dt)
+    out_dt = {**left_dt, **{k: v for k, v in right_dt.items()
+                            if k not in left_dt}}
+
     tagged = left.map_batches(tag("l", left_key), batch_format="pyarrow").union(
         right.map_batches(tag("r", right_key), batch_format="pyarrow")
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == "l"].dropna(axis=1, how="all")
-        r = group[group["__side"] == "r"].dropna(axis=1, how="all")
-        l = l.drop(columns=["__side", "__bucket"], errors="ignore")
-        r = r.drop(columns=["__side", "__bucket"], errors="ignore")
+        l = group.loc[group["__side"] == "l", left_cols].astype(left_dt)
+        r = group.loc[group["__side"] == "r", right_cols].astype(right_dt)
         if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame()
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in out_dt.items()})
         return l.merge(r, left_on=left_key, right_on=right_key)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
