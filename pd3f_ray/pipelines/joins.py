@@ -93,8 +93,12 @@ def hash_join(
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group["__side"] == "l", left_cols].astype(left_dt)
-        r = group.loc[group["__side"] == "r", right_cols].astype(right_dt)
+        # reindex: when one side contributes no rows to this group (or to
+        # the whole union), its columns may be absent entirely
+        l = (group.loc[group["__side"] == "l"]
+             .reindex(columns=left_cols).astype(left_dt))
+        r = (group.loc[group["__side"] == "r"]
+             .reindex(columns=right_cols).astype(right_dt))
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame({c: pd.Series([], dtype=d)
                                  for c, d in out_dt.items()})
