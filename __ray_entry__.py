@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "lang_quality": textstats.lang_quality,
         "lang_id": textstats.lang_id,
+        "sample_docs": textstats.sample_docs,
+        "top_tokens": textstats.top_tokens,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only
@@ -208,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "lang_quality": textstats.LANG_QUALITY_SQL,
         "lang_id": textstats.LANG_ID_SQL,
+        "sample_docs": textstats.SAMPLE_DOCS_SQL,
+        "top_tokens": textstats.top_tokens_sql(),
         "knn_bruteforce": similarity.knn_sql(),
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,
     }

@@ -191,3 +191,90 @@ SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
             ELSE 'fr' END AS pred_lang
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (the reference has no sampling — SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+SAMPLE_HEX = ("0", "1", "2", "3")  # md5 first hex digit → 4/16 = 25% sample
+
+
+def sample_docs(sf_dir: str):
+    """Deterministic 25% sample: keep documents whose md5(text) starts
+    with one of SAMPLE_HEX. Hash sampling is reproducible across runs
+    and engines (unlike random_shuffle/limit) and embarrassingly
+    parallel — the standard way to carve held-out slices from a crawl.
+    Output (doc_id, lang, n_chars) of sampled docs."""
+    from pd3f_ray.functions.textfns import md5_hex
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keep = [md5_hex(t)[0] in SAMPLE_HEX for t in texts]
+        import pyarrow.compute as pc
+
+        mask = pa.array(keep, pa.bool_())
+        f = batch.filter(mask)
+        return f.select(["doc_id", "lang", "n_chars"])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+SAMPLE_DOCS_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substring(md5(text), 1, 1) IN {SAMPLE_HEX!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus heavy hitters (word count with map-side combining)
+# ---------------------------------------------------------------------------
+
+TOP_TOKENS_K = 20
+
+
+def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
+    """The k most frequent whitespace tokens across the corpus.
+    Frequencies are pre-aggregated per batch inside map_batches (a
+    Counter over the batch's tokens), so the groupby exchange moves one
+    row per (block, token) instead of one per token occurrence; ties at
+    the boundary break deterministically by token ascending."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(t.split(" "))
+        c.pop("", None)
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    # top-k: per-block top-k then a tiny global resolve
+    return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def top_tokens_sql(k: int = TOP_TOKENS_K) -> str:
+    return f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token != ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {k}
+"""

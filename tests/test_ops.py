@@ -177,3 +177,15 @@ def test_supplier_join_oracle(ray_session, con):
     from pd3f_ray.pipelines.joins import SUPPLIER_PART_SQL, supplier_part_join
 
     _match(supplier_part_join(SF), SUPPLIER_PART_SQL, con)
+
+
+def test_sample_docs_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import SAMPLE_DOCS_SQL, sample_docs
+
+    _match(sample_docs(SF), SAMPLE_DOCS_SQL, con)
+
+
+def test_top_tokens_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import top_tokens, top_tokens_sql
+
+    _match(top_tokens(SF), top_tokens_sql(), con)
