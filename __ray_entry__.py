@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only
+        "knn_ivf": similarity.knn_ivf,             # approximate → rows-only
         # multimodal (stub decode, real actor-pool plumbing)
         "media_features": multimodal.media_features_flat,  # rows-only
         "media_kind_summary": multimodal.media_kind_summary,

@@ -210,3 +210,114 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES):
         .groupby("query_id")
         .map_groups(reduce_topk, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 10
+IVF_SAMPLE = 2048
+
+
+def _ivf_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS,
+                   iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic k-means on a bounded sample (first IVF_SAMPLE rows
+    by vec_id): seeded init from evenly spaced sample points, fixed
+    iteration count, cosine geometry (normalized vectors, mean-then-
+    renormalize updates). Driver-side by design — training data is a
+    bounded sample regardless of corpus size; assignment is the
+    distributed part."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)[:IVF_SAMPLE]
+    v = np.array(tbl.column("embedding").to_pylist(),
+                 dtype=np.float64)[order]
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # evenly spaced deterministic seeds
+    seed_idx = np.linspace(0, len(v) - 1, n_clusters).astype(int)
+    c = v[seed_idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(v @ c.T, axis=1)
+        for k in range(n_clusters):
+            m = assign == k
+            if m.any():
+                mean = v[m].mean(axis=0)
+                n = np.linalg.norm(mean)
+                if n > 0:
+                    c[k] = mean / n
+    return c
+
+
+def knn_ivf(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
+            nprobe: int = IVF_NPROBE):
+    """Approximate top-k via an inverted file: vectors are assigned to
+    their nearest centroid (one vectorized matmul per batch); each query
+    scans only its ``nprobe`` nearest clusters — at corpus scale the
+    assignment is a partitioned write and probing reads only those
+    partitions. Returns (query_id, neighbor_id); recall pinned in tests
+    against brute force."""
+    q_ids, q_vecs = _query_matrix(sf_dir, n_queries)
+    qn = q_vecs / np.linalg.norm(q_vecs, axis=1, keepdims=True)
+    centroids = _ivf_centroids(sf_dir)
+    # per-query probe set
+    q_assign = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    probe: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in q_assign[qi]:
+            probe.setdefault(int(c), []).append(qi)
+    ref = ray.put((q_ids, qn, centroids, probe))
+
+    ds = _emb(sf_dir)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qmat, cents, probe_map = ray.get(ref)
+        vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nm = mat / norms
+        assign = np.argmax(nm @ cents.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(assign):
+            quis = probe_map.get(int(c))
+            if not quis:
+                continue
+            rows = assign == c
+            sub_ids = vids[rows]
+            sims = nm[rows] @ qmat[quis].T
+            for ci, qi in enumerate(quis):
+                qid = int(ids_q[qi])
+                valid = sub_ids != qid
+                cid = sub_ids[valid]
+                cs = sims[valid, ci]
+                if len(cid) == 0:
+                    continue
+                take = min(k, len(cid))
+                idx = np.argpartition(-cs, take - 1)[:take]
+                out_q.extend([qid] * take)
+                out_n.extend(cid[idx].tolist())
+                out_s.extend(cs[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["neighbor_id"])
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "neighbor_id"]]
+
+    return (
+        ds.map_batches(batch_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(reduce_topk, batch_format="pandas")
+    )

@@ -189,3 +189,20 @@ def test_top_tokens_oracle(ray_session, con):
     from pd3f_ray.pipelines.textstats import top_tokens, top_tokens_sql
 
     _match(top_tokens(SF), top_tokens_sql(), con)
+
+
+def test_knn_ivf_recall(ray_session):
+    from pd3f_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    exact = knn_bruteforce(SF).to_pandas()
+    approx = knn_ivf(SF).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    # nprobe=4 of 16 clusters on near-uniform vectors: the probed
+    # quarter of the space must contain well over its uniform share of
+    # true neighbors (centroid locality), pinned here
+    assert recall >= 0.3, recall
+    # determinism
+    b = knn_ivf(SF).to_pandas()
+    assert a == set(zip(b["query_id"], b["neighbor_id"]))
