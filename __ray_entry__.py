@@ -132,6 +132,7 @@ def _q_extract_elements(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
+        curation,
         dedup,
         joins,
         multimodal,
@@ -160,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": windows.user_sessions,
         "purchase_attribution": windows.purchase_attribution,
         # dedup family
+        "curate_docs": curation.curate_docs,
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -185,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from pd3f_ray.pipelines import (
+        curation,
         dedup,
         joins,
         multimodal,
@@ -203,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
+        "curate_docs": curation.CURATE_DOCS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),

@@ -206,3 +206,11 @@ def test_knn_ivf_recall(ray_session):
     # determinism
     b = knn_ivf(SF).to_pandas()
     assert a == set(zip(b["query_id"], b["neighbor_id"]))
+
+
+def test_curate_docs_oracle(ray_session, con):
+    from pd3f_ray.pipelines.curation import CURATE_DOCS_SQL, curate_docs
+
+    got = curate_docs(SF).to_pandas()
+    assert len(got) > 0
+    _match(curate_docs(SF), CURATE_DOCS_SQL, con)
