@@ -20,9 +20,9 @@ def ray_session():
 
 @pytest.fixture(scope="session")
 def small_corpus_dir(tmp_path_factory):
-    """A 60-doc synthetic corpus on disk, shared across tests."""
+    """A 100-doc synthetic corpus on disk, shared across tests."""
     from pd3f_ray.sources.synth import write_corpus
 
     d = tmp_path_factory.mktemp("corpus")
-    write_corpus(str(d), n_docs=60, seed=42, rows_per_file=20)
+    write_corpus(str(d), n_docs=100, seed=42, rows_per_file=20)
     return str(d)

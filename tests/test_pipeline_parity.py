@@ -12,7 +12,7 @@ from pd3f_ray.core.kernel import extract_record
 from pd3f_ray.core.scorer import DeterministicScorer
 from pd3f_ray.sources.synth import build_layout, doc_url, generate_pages_exploded
 
-N_DOCS = 60
+N_DOCS = 100
 
 
 def _oracle_texts(n_docs=N_DOCS, seed=42):

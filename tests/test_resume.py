@@ -28,7 +28,7 @@ def test_resume_skips_done_and_matches_full_run(ray_session, small_corpus_dir, t
 
     stats_full = run_resumable(small_corpus_dir, full_dir, num_shards=3)
     assert stats_full["shards_done"] == 3
-    assert stats_full["rows"] == 60
+    assert stats_full["rows"] == 100
     assert stats_full["errors"] > 0  # dead letters counted in metrics
     # output is hash-partitioned by url bucket inside each shard
     assert glob.glob(os.path.join(full_dir, "shard=*", "bucket=*"))
