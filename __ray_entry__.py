@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         windows,
     )
 
+    # the modules above are imported lazily — register them by value too,
+    # so workers need no import path for any query callable
+    _ship_package_by_value()
+
     return {
         # extraction (LM-in-the-loop; rows-only checks — no SQL equivalent)
         "extract_docs": _q_extract_docs,
