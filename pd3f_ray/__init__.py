@@ -14,8 +14,9 @@ Nothing in this package calls ``ray.init()``; sessions are owned by the
 caller (bench.py, CLI, test fixtures).
 """
 
+from pd3f_ray.api import Export, extract
 from pd3f_ray.core.config import ExtractOptions
 from pd3f_ray.core.kernel import extract_text
 
-__all__ = ["ExtractOptions", "extract_text"]
+__all__ = ["Export", "ExtractOptions", "extract", "extract_text"]
 __version__ = "0.1.0"

@@ -220,3 +220,40 @@ def test_extract_deterministic():
     a = extract_text(layout1, ExtractOptions.experimental())
     b = extract_text(layout2, ExtractOptions.experimental())
     assert a == b
+
+
+def test_reference_shaped_api():
+    """extract() / Export mirror the reference's public call shapes
+    (reference export.py:30-103, 154-212): (text, tables) tuple, path or
+    dict or bytes input, markdown render, save_text."""
+    import json
+    import tempfile
+
+    from pd3f_ray import Export, extract
+    from pd3f_ray.sources.synth import build_layout
+
+    layout, _ = build_layout(3, 42, scenario="plain")
+    layout["tables"] = ["a,b\n1,2\n"]
+    payload = json.dumps(layout, ensure_ascii=False).encode()
+
+    text, tbls = extract(payload, tables=True, experimental=True, lang="en")
+    assert text and isinstance(text, str)
+    assert tbls == ["a,b\n1,2\n"]
+    text2, none_tbls = extract(dict(layout), experimental=True, lang="en")
+    assert text2 == text and none_tbls is None
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        f.write(payload)
+        path = f.name
+    e = Export(path, experimental=True, lang="en")
+    assert e.text() == text
+    assert isinstance(e.markdown(), str)
+    out = path + ".txt"
+    e.save_text(out)
+    assert open(out, encoding="utf-8").read() == text
+
+    # one-shot API surfaces errors (pipeline dead-letters instead)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extract(b"\x00notjson", experimental=True)
