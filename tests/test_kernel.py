@@ -257,3 +257,32 @@ def test_reference_shaped_api():
 
     with _pytest.raises(ValueError):
         extract(b"\x00notjson", experimental=True)
+
+
+def test_rule3_short_line_forces_newline():
+    # rule 3: the next line's first word would have fit in the remaining
+    # space → newline (export.py:363-367). Line 1 is much shorter than
+    # the paragraph's width, so "Tail" (line 2) would have fit after it.
+    ids = _IdGen()
+    l1 = _line(ids, ["Stub."], BODY_FONT, 400.0, MARGIN_L)
+    l2 = _line(ids, ["Tail", "words", "of", "the", "paragraph", "continue",
+                     "further", "along"], BODY_FONT, 414.0, MARGIN_L)
+    para = _paragraph(ids, [l1, l2])
+    doc = _base_doc(ids, [para])
+    txt = extract_text(doc, ExtractOptions.plain())
+    assert "Stub.\nTail" in txt
+
+
+def test_rule6_punct_end_short_line_joins_with_space():
+    # rule 6: ≤5-word line ending in punctuation, with rules 2-5 not
+    # firing (full-width line, same-page small gap) → space
+    # (export.py:380-381)
+    ids = _IdGen()
+    l1 = _line(ids, ["Reorganization", "notwithstanding", "responsibilities,"],
+               BODY_FONT, 400.0, MARGIN_L)
+    l2 = _line(ids, ["Considerations", "administrative", "determinations."],
+               BODY_FONT, 414.0, MARGIN_L)
+    para = _paragraph(ids, [l1, l2])
+    doc = _base_doc(ids, [para])
+    txt = extract_text(doc, ExtractOptions.plain())
+    assert "responsibilities, Considerations" in txt
