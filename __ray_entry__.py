@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "segment_order_stats": relational.segment_order_stats,
         "events_hourly": relational.events_hourly,
+        "event_value_quantiles": relational.event_value_quantiles,
         # joins (broadcast + bucketed hash join)
         "nation_revenue": joins.nation_revenue,
         "supplier_part_join": joins.supplier_part_join,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,

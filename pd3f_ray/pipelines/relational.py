@@ -280,3 +280,47 @@ SELECT event_type,
 FROM events
 GROUP BY event_type, window_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact per-group quantiles (Ray Data has no exact quantile aggregate)
+# ---------------------------------------------------------------------------
+
+QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def event_value_quantiles(sf_dir: str):
+    """Exact discrete quantiles of event value per event_type: the group
+    count is tiny (one per type) while groups are large, so the shuffle
+    key is the type and each group sorts its own values — the standard
+    exact-quantile plan when the cardinality of the key is small. Values
+    travel as integer cents; quantiles are ``quantile_disc`` semantics
+    (the element at ceil(q*n)-1 of the sorted list), matching DuckDB."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def per_type(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["value"].to_numpy() * 100
+        cents = np.sort((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64))
+        n = len(cents)
+        row = {"event_type": [group["event_type"].iloc[0]],
+               "n_events": [n]}
+        for q in QUANTILES:
+            idx = max(int(np.ceil(q * n)) - 1, 0)
+            row[f"p{int(q * 100)}_cents"] = [int(cents[idx])]
+        return pd.DataFrame(row)
+
+    return ds.groupby("event_type").map_groups(per_type,
+                                               batch_format="pandas")
+
+
+EVENT_QUANTILES_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {", ".join(
+           f"CAST(quantile_disc(CAST(round(value * 100) AS BIGINT), {q}) "
+           f"AS BIGINT) AS p{int(q * 100)}_cents"
+           for q in QUANTILES)}
+FROM events
+GROUP BY event_type
+"""

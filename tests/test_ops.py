@@ -214,3 +214,12 @@ def test_curate_docs_oracle(ray_session, con):
     got = curate_docs(SF).to_pandas()
     assert len(got) > 0
     _match(curate_docs(SF), CURATE_DOCS_SQL, con)
+
+
+def test_event_value_quantiles_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        EVENT_QUANTILES_SQL,
+        event_value_quantiles,
+    )
+
+    _match(event_value_quantiles(SF), EVENT_QUANTILES_SQL, con)
