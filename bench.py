@@ -203,8 +203,11 @@ def main_scaling():
     # the box's clock curve; the probe below still reports the ceiling.
     lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "3"))
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    # 8 passes (1.6M docs per run) so the 10-20 s per-job fixed cost —
+    # which itself jitters with host load — stays <5% of the lo-side
+    # runtime; repeats=1 keeps the default invocation ~7 min
+    passes = int(os.environ.get("GRAFT_SCALING_PASSES", "8"))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "1"))
     # alternate lo/hi and keep the best of each: the box is a VM and
     # host-level load varies minute to minute — best-of filters the
     # transient slowdowns that would otherwise land on one side only

@@ -22,7 +22,6 @@ that keeps the wide exchange small.
 from __future__ import annotations
 
 import os
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -40,12 +39,16 @@ def _pq(sf_dir: str, table: str, columns):
 
 
 def _stable_bucket(arr: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic cross-process bucket for int64 keys (crc32 of the
-    little-endian bytes; NOT Python hash(), which is salted)."""
-    out = np.empty(len(arr), dtype=np.int32)
-    for i, v in enumerate(arr):
-        out[i] = zlib.crc32(int(v).to_bytes(8, "little")) % num_buckets
-    return out
+    """Deterministic cross-process bucket for int64 keys — a vectorized
+    splitmix64-style integer mix (NOT Python hash(), which is salted
+    per process). One multiply/shift chain over the whole array."""
+    x = arr.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(num_buckets)).astype(np.int32)
 
 
 def hash_join(
