@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": dedup.minhash_pairs,      # approximate → rows-only
         "simhash_docs": dedup.simhash_docs,        # bit sketch → rows-only
         "embdup_cosine": dedup.embdup_cosine,
+        "embdup_lsh": dedup.embdup_lsh,            # approximate → rows-only
         # text analysis
         "token_stats": textstats.token_stats,
         "doc_fingerprint": textstats.doc_fingerprint,

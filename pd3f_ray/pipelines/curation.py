@@ -5,31 +5,33 @@ sample, as ONE streaming Ray Data pipeline, oracle-checked end-to-end.
 Stages (all over the ``documents`` table so DuckDB can replay them):
 1. quality gate — vectorized per-batch predicate (min tokens, min
    distinct-token ratio);
-2. exact dedup — md5(text) digest per row (the shuffle moves 32-byte
-   digests + ids, never text), groupby digest keeping the smallest
-   doc_id;
-3. deterministic sample — md5 first-hex-digit buckets (50%);
-4. re-attach metadata — the kept-id set is a broadcast filter over a
-   second streaming pass (ids are the small side; text never travels).
+2. deterministic sample — md5 first-hex-digit buckets (50%);
+3. exact dedup — md5(text) digest per row; the ONE exchange is a
+   hash-bucketed shuffle of (digest, doc_id, lang, n_chars, n_tokens)
+   rows — 32-byte digests plus small metadata, never text — and the
+   in-group pick-first is a vectorized pandas drop_duplicates.
 
-At corpus scale the only exchange is the dedup groupby on digests;
-everything else is map-side.
+Everything else is map-side: no ``take_all``, no driver-side id set,
+no second pass over the corpus. The output metadata rides through the
+dedup shuffle, so the pipeline is one streaming read end-to-end and
+per-group memory is bounded by the bucket count knob.
 """
 
 from __future__ import annotations
 
 import os
+import zlib
 
+import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
 from pd3f_ray.functions.textfns import md5_hex
 
 MIN_TOKENS = 20
 MIN_DISTINCT_RATIO = 0.3
 SAMPLE_HEX = ("0", "1", "2", "3", "4", "5", "6", "7")  # 50%
+DEDUP_BUCKETS = 256  # bounds per-group rows in the dedup exchange
 
 
 def _docs(sf_dir: str, columns):
@@ -37,15 +39,27 @@ def _docs(sf_dir: str, columns):
                            columns=columns)
 
 
-def curate_docs(sf_dir: str):
+def curate_docs(sf_dir: str, num_buckets: int = DEDUP_BUCKETS):
     """Documents surviving quality gate → exact dedup → 50% hash sample.
-    Output (doc_id, lang, n_chars, n_tokens), oracle-checked."""
+    Output (doc_id, lang, n_chars, n_tokens), oracle-checked.
+
+    The kept rows' metadata rides THROUGH the dedup exchange (digest +
+    doc_id + small metadata per row, never text), so there is no second
+    corpus pass and nothing is materialized on the driver — the round-1
+    ``take_all()`` id-set broadcast is gone. The digest groupby is
+    bucketed (``crc32(digest) % num_buckets``) so the in-group
+    pick-smallest-doc_id is one vectorized drop_duplicates per bucket
+    instead of one Python dispatch per distinct digest."""
 
     def digest_quality(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column("doc_id").to_pylist()
-        out_id, out_hash = [], []
-        for did, t in zip(ids, texts):
+        langs = batch.column("lang").to_pylist()
+        chars = batch.column("n_chars").to_pylist()
+        out = {k: [] for k in
+               ("bucket", "text_hash", "doc_id", "lang", "n_chars",
+                "n_tokens")}
+        for did, t, lg, nc in zip(ids, texts, langs, chars):
             toks = [w for w in t.split(" ") if w]
             if len(toks) < MIN_TOKENS:
                 continue
@@ -54,44 +68,34 @@ def curate_docs(sf_dir: str):
             h = md5_hex(t)
             if h[0] not in SAMPLE_HEX:
                 continue
-            out_id.append(did)
-            out_hash.append(h)
+            out["bucket"].append(zlib.crc32(h.encode()) % num_buckets)
+            out["text_hash"].append(h)
+            out["doc_id"].append(did)
+            out["lang"].append(lg)
+            out["n_chars"].append(nc)
+            out["n_tokens"].append(len(toks))
         return pa.table(
             {
-                "text_hash": pa.array(out_hash, pa.string()),
-                "doc_id": pa.array(out_id, pa.int64()),
+                "bucket": pa.array(out["bucket"], pa.int32()),
+                "text_hash": pa.array(out["text_hash"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "lang": pa.array(out["lang"], pa.string()),
+                "n_chars": pa.array(out["n_chars"],
+                                    batch.schema.field("n_chars").type),
+                "n_tokens": pa.array(out["n_tokens"], pa.int64()),
             }
         )
 
-    kept = (
-        _docs(sf_dir, ["doc_id", "text"])
+    def pick_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["text_hash", "doc_id"], kind="mergesort")
+             .drop_duplicates("text_hash", keep="first"))
+        return g[["doc_id", "lang", "n_chars", "n_tokens"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
         .map_batches(digest_quality, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-    )
-    keep_ids = {r["doc_id"] for r in kept.take_all()}  # ids only — small
-    keep_ref = ray.put(keep_ids)
-
-    def attach(batch: pa.Table) -> pa.Table:
-        keep = ray.get(keep_ref)
-        ids = batch.column("doc_id").to_pylist()
-        mask = pa.array([i in keep for i in ids], pa.bool_())
-        f = batch.filter(mask)
-        texts = f.column("text").to_pylist()
-        n_tokens = pa.array(
-            [len([w for w in t.split(" ") if w]) for t in texts], pa.int64()
-        )
-        return pa.table(
-            {
-                "doc_id": f.column("doc_id"),
-                "lang": f.column("lang"),
-                "n_chars": f.column("n_chars"),
-                "n_tokens": n_tokens,
-            }
-        )
-
-    return _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).map_batches(
-        attach, batch_format="pyarrow"
+        .groupby("bucket")
+        .map_groups(pick_first, batch_format="pandas")
     )
 
 

@@ -121,20 +121,44 @@ GROUP BY prefix_hash
 
 JACCARD_THRESHOLD = 0.99
 CHAR_BAND = 2
+LENGTH_BAND_W = 64  # chars per length band — bounds a shuffle group
 
 
 def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     """Same-language document pairs within ±CHAR_BAND chars of each other
     whose byte-set Jaccard exceeds the threshold.
 
-    Blocking: lang is the shuffle key; inside a block a sort on n_chars
-    plus a sliding window makes the length-band predicate complete
-    without O(block²) comparisons. The Jaccard itself is a vectorized
-    bitmask popcount with DuckDB-identical semantics (byte sets of the
-    UTF-8 encoding). This is the exact, oracle-checked variant; the
-    MinHash-LSH path below is the probabilistic scale path.
+    Blocking: the shuffle key is ``(lang, n_chars // LENGTH_BAND_W)`` —
+    NOT bare ``lang``, which at corpus scale puts an entire language in
+    one group. Documents whose length falls within CHAR_BAND of a band's
+    lower edge are replicated into the previous band as non-native
+    "ghost" rows, so the ±CHAR_BAND window predicate stays complete
+    across band edges; only NATIVE rows anchor a window, so every
+    qualifying pair is emitted exactly once (from the band of its
+    shorter document) with no dedup pass. Inside a group a sort on
+    n_chars plus a sliding window avoids O(group²) comparisons, and the
+    Jaccard itself is a vectorized bitmask popcount with
+    DuckDB-identical semantics (byte sets of the UTF-8 encoding). This
+    is the exact, oracle-checked variant; the MinHash-LSH path below is
+    the probabilistic scale path.
     """
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        band = (chars // LENGTH_BAND_W).astype(np.int64)
+        native = batch.append_column(
+            "band", pa.array(band, pa.int64())
+        ).append_column("native", pa.array(np.ones(len(chars), bool)))
+        ghost_mask = (chars % LENGTH_BAND_W < CHAR_BAND) & (band > 0)
+        if not ghost_mask.any():
+            return native
+        ghosts = batch.filter(pa.array(ghost_mask)).append_column(
+            "band", pa.array(band[ghost_mask] - 1, pa.int64())
+        ).append_column(
+            "native", pa.array(np.zeros(int(ghost_mask.sum()), bool))
+        )
+        return pa.concat_tables([native, ghosts])
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((group["doc_id"].to_numpy(),
@@ -142,6 +166,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
         ids = group["doc_id"].to_numpy()[order]
         chars = group["n_chars"].to_numpy()[order]
         texts = group["text"].to_numpy()[order]
+        native = group["native"].to_numpy()[order]
         masks = masks_for(list(texts))
         from pd3f_ray.functions.textfns import popcount64
 
@@ -149,6 +174,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
         out_a, out_b = [], []
         n = len(ids)
         for i in range(n):
+            if not native[i]:
+                continue  # ghosts are window candidates, never anchors
             j = i + 1
             while j < n and chars[j] - chars[i] <= CHAR_BAND:
                 j += 1
@@ -166,7 +193,11 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
                              "id_b": pd.Series(out_b, dtype="int64")})
 
-    return ds.groupby("lang").map_groups(block_pairs, batch_format="pandas")
+    return (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["lang", "band"])
+        .map_groups(block_pairs, batch_format="pandas")
+    )
 
 
 def jaccard_pairs_sql(threshold: float = JACCARD_THRESHOLD) -> str:
@@ -203,17 +234,20 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
     grouped by ``band_hash % MINHASH_BUCKETS`` (grouping by the raw
     band key made one map_groups group per distinct hash — hundreds of
     thousands of sub-millisecond Python dispatches); inside a bucket the
-    exact-key pairing is a vectorized pandas groupby; (3) per-pair exact
-    verification against broadcast doc TEXTS — shingle sets are computed
-    lazily in the verify tasks with a per-worker cache, not in a driver
-    loop. At corpus scale the broadcast side is replaced by a join of
-    candidates back to the documents table; the banding/bucketing shape
-    is unchanged.
+    exact-key pairing is a vectorized pandas groupby; (3) candidate
+    pairs are deduped (a pair can collide in several bands) and each
+    pair's two texts are fetched by a bucketed hash-join of the pair
+    ENDPOINTS back to the documents table — no driver-side text map, no
+    whole-corpus broadcast; the documents text crosses one bucketed
+    exchange and only candidate texts survive the inner join; (4) a
+    final pair-bucketed groupby brings both endpoints of a pair
+    together for exact word-shingle Jaccard verification (shingle sets
+    cached per doc within a group).
 
     No SQL oracle (candidate generation is probabilistic); tests verify
     recall against the brute-force pair set at small n.
     """
-    import ray
+    from pd3f_ray.pipelines.joins import _stable_bucket, hash_join
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -266,56 +300,75 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # exact verification: broadcast the raw texts once (small side);
-    # shingle sets are computed on demand in the verify tasks and cached
-    # per worker process
-    import pyarrow.parquet as pq
+    # a pair can collide in multiple bands → dedup to unique pairs
+    # BEFORE fetching texts (the exchange moves ids only)
+    pairs = candidates.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_bands")
+    )
 
-    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"])
-    text_map = dict(zip(tbl.column("doc_id").to_pylist(),
-                        tbl.column("text").to_pylist()))
-    txt_ref = ray.put(text_map)
-
-    _shingle_cache: dict[int, set] = {}
-
-    def _shingles_of(did: int, texts: dict) -> set:
-        s = _shingle_cache.get(did)
-        if s is None:
-            s = word_shingles(texts[did], SHINGLE_K)
-            _shingle_cache[did] = s
-        return s
-
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(txt_ref)
-        seen = set()
-        id_a, id_b, sims = [], [], []
-        for a, b in zip(batch.column("id_a").to_pylist(),
-                        batch.column("id_b").to_pylist()):
-            if (a, b) in seen:
-                continue
-            seen.add((a, b))
-            sa, sb = _shingles_of(a, texts), _shingles_of(b, texts)
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            if j >= threshold:
-                id_a.append(a)
-                id_b.append(b)
-                sims.append(round(j, 6))
+    # explode each pair to its two endpoints, then bucketed hash-join
+    # the endpoints back to documents for the text — the inner join
+    # drops every non-candidate document after one bucketed exchange
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "id_a": pa.array(id_a, pa.int64()),
-                "id_b": pa.array(id_b, pa.int64()),
-                "jaccard_x1e6": pa.array([int(s * 1e6) for s in sims], pa.int64()),
+                "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "join_id": pa.array(np.concatenate([a, b]), pa.int64()),
             }
         )
 
-    verified = candidates.map_batches(verify, batch_format="pyarrow")
+    endpoints = pairs.map_batches(explode, batch_format="pyarrow")
+    with_text = hash_join(endpoints, _docs(sf_dir, ["doc_id", "text"]),
+                          "join_id", "doc_id")
 
-    # candidates can surface in multiple bands → final exact dedup of pairs
+    # co-locate the two endpoints of each pair: bucket on id_a (pairs
+    # sharing an anchor land together, which also warms the shingle
+    # cache), groupby bucket, verify in-group
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pbucket", pa.array(_stable_bucket(a, MINHASH_BUCKETS), pa.int32())
+        )
+
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        texts: dict[int, str] = dict(
+            zip(group["join_id"].astype("int64"), group["text"])
+        )
+        shingle_cache: dict[int, set] = {}
+
+        def sh(did: int) -> set:
+            s = shingle_cache.get(did)
+            if s is None:
+                s = word_shingles(texts[did], SHINGLE_K)
+                shingle_cache[did] = s
+            return s
+
+        uniq = group[["id_a", "id_b"]].drop_duplicates()
+        id_a, id_b, sims = [], [], []
+        for a, b in zip(uniq["id_a"].astype("int64"),
+                        uniq["id_b"].astype("int64")):
+            sa, sb = sh(int(a)), sh(int(b))
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= threshold:
+                id_a.append(int(a))
+                id_b.append(int(b))
+                sims.append(int(round(j, 6) * 1e6))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(id_a, dtype="int64"),
+                "id_b": pd.Series(id_b, dtype="int64"),
+                "jaccard_x1e6": pd.Series(sims, dtype="int64"),
+            }
+        )
+
     return (
-        verified.groupby(["id_a", "id_b"])
-        .aggregate(Min("jaccard_x1e6", alias_name="jaccard_x1e6"))
+        with_text.map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(verify_group, batch_format="pandas")
     )
 
 
@@ -380,6 +433,90 @@ JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       > {EMB_THRESHOLD}
 """
+
+
+# the LSH-bucketed scale path: fewer planes per table (wider buckets)
+# but more independent tables than the kNN setup — near-dup wants recall
+# on pairs just above the threshold, and recall = 1 - (1 - p^planes)^tables
+EMBLSH_PLANES = 4
+EMBLSH_TABLES = 8
+EMBLSH_SEED = 101
+
+
+def _emb_lsh_codes(nm: np.ndarray, table: int,
+                   n_planes: int = EMBLSH_PLANES) -> np.ndarray:
+    rng = np.random.RandomState(EMBLSH_SEED + table)
+    planes = rng.normal(size=(n_planes, nm.shape[1]))
+    sig = (nm @ planes.T > 0).astype(np.uint8)
+    return np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
+
+
+def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
+    """Embedding near-dup pairs via hyperplane-LSH bucketing — the
+    default scale path (``embdup_cosine`` above stays as the exact
+    all-pairs oracle anchor for small inputs).
+
+    Plan: each vector is replicated into EMBLSH_TABLES rows, one per
+    hash table, keyed ``bucket = table * 2^planes + hyperplane_code``;
+    ONE groupby(bucket) exchange co-locates candidate vectors; inside a
+    bucket an all-pairs float64 matmul emits (id_a < id_b) pairs above
+    the threshold — every emitted pair is exact (no false positives),
+    recall ≈ 1-(1-p^planes)^tables where p = 1 - angle/π. A final tiny
+    groupby dedups pairs found by several tables. Partitioning
+    assumption: a (table, code) bucket must fit one group — at corpus
+    scale raise EMBLSH_PLANES so buckets stay bounded (more tables to
+    hold recall). Exchange volume = TABLES × the embeddings table;
+    embeddings are the small derived table, not the corpus text.
+    Rows-only check (probabilistic recall); tests pin recall against
+    ``embdup_cosine``."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def tag_tables(batch: pa.Table) -> pa.Table:
+        vids = batch.column("vec_id")
+        emb = batch.column("embedding")
+        m = np.array(emb.to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        nm = m / n
+        parts = []
+        for t in range(EMBLSH_TABLES):
+            codes = _emb_lsh_codes(nm, t)
+            bucket = t * (1 << EMBLSH_PLANES) + codes
+            parts.append(pa.table({
+                "bucket": pa.array(bucket, pa.int32()),
+                "vec_id": vids,
+                "embedding": emb,
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy().astype(np.int64)
+        m = np.array(group["embedding"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        nm = m / n
+        sims = nm @ nm.T
+        hit_i, hit_j = np.nonzero(
+            np.triu(sims > threshold, k=1) & (ids[:, None] != ids[None, :])
+        )
+        a = np.minimum(ids[hit_i], ids[hit_j])
+        b = np.maximum(ids[hit_i], ids[hit_j])
+        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
+                             "id_b": pd.Series(b, dtype="int64")})
+
+    found = (
+        ds.map_batches(tag_tables, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # dedup pairs discovered by several tables
+    deduped = found.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_tables")
+    )
+    return deduped.map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -223,3 +223,53 @@ def test_event_value_quantiles_oracle(ray_session, con):
     )
 
     _match(event_value_quantiles(SF), EVENT_QUANTILES_SQL, con)
+
+
+def test_embdup_lsh_recall_and_exactness(ray_session, con):
+    """The LSH-bucketed emb-dup scale path: every emitted pair must be a
+    TRUE pair (in-bucket verification is exact cosine), and recall vs
+    the all-pairs oracle must clear the analytic floor for the
+    planes/tables configuration."""
+    from pd3f_ray.pipelines.dedup import EMBDUP_COSINE_SQL, embdup_lsh
+
+    got = embdup_lsh(SF).to_pandas()
+    found = set(zip(got["id_a"], got["id_b"]))
+    exact = con.execute(EMBDUP_COSINE_SQL).df()
+    truth = set(zip(exact["id_a"], exact["id_b"]))
+    assert found <= truth, found - truth          # zero false positives
+    if truth:
+        assert len(found & truth) / len(truth) >= 0.5, (len(found), len(truth))
+
+
+def test_jaccard_band_edge_pairs(ray_session):
+    """The banded shuffle must keep pairs whose lengths straddle a
+    LENGTH_BAND_W boundary (ghost-row replication) and emit each pair
+    exactly once."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pd3f_ray.pipelines import dedup
+    from pd3f_ray.pipelines.dedup import LENGTH_BAND_W, jaccard_pairs
+
+    w = LENGTH_BAND_W
+    # two near-identical docs straddling a band edge: lengths w-1 and w
+    base = "x" * (w - 2)
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [base + "a", base + "ab",          # bands b-1 / b edge pair
+                 "y" * (3 * w) + "q", "y" * (3 * w) + "qr",  # same-band pair
+                 "z" * (5 * w), "unrelated words here"],
+        "lang": ["en"] * 6,
+        "n_chars": [w - 1, w, 3 * w + 1, 3 * w + 2, 5 * w, 20],
+    }
+    tmp = "/tmp/jaccard_band_edge"
+    os.makedirs(tmp, exist_ok=True)
+    pa_tbl = pa.table({k: pa.array(v) for k, v in rows.items()})
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_tbl, os.path.join(tmp, "documents.parquet"))
+    got = jaccard_pairs(tmp, threshold=0.5).to_pandas()
+    pairs = sorted(zip(got["id_a"], got["id_b"]))
+    # each qualifying pair appears exactly once, including the edge pair
+    assert pairs == [(1, 2), (3, 4)], pairs
+    assert len(got) == len(got.drop_duplicates()), "duplicate pairs emitted"
