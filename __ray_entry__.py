@@ -130,6 +130,12 @@ def _q_extract_elements(sf_dir: str):
     return extract_elements_from_parquet(ensure_corpus(sf_dir, kind="docs"))
 
 
+def _q_extract_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import extract_roundtrip
+
+    return extract_roundtrip(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         curation,
@@ -153,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_summary": _q_extract_summary,
         "extract_markdown": _q_extract_markdown,
         "extract_elements": _q_extract_elements,
+        # oracle-CHECKED extraction: documents wrapped in an
+        # identity-shape layout, run through the real ExtractDocs actor
+        # pool; driver hash-compares extracted text byte-per-url
+        "extract_roundtrip": _q_extract_roundtrip,
         # relational / wide ops (oracle-checked)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -203,7 +213,10 @@ def oracle_sql() -> dict[str, str]:
         windows,
     )
 
+    from pd3f_ray.pipelines.extraction import EXTRACT_ROUNDTRIP_SQL
+
     return {
+        "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
-from pd3f_ray.core.config import ExtractOptions
+from pd3f_ray.core.config import ExtractOptions, normalize_reference_kwargs
 from pd3f_ray.core.kernel import DocumentKernel, extract_parsed, extract_record
 from pd3f_ray.core.scorer import get_scorer
 
@@ -23,6 +23,7 @@ def _resolve_options(experimental: bool, lang: str, fast: bool,
                      **kwargs) -> ExtractOptions:
     base = (ExtractOptions.experimental(lang=lang, fast=fast)
             if experimental else ExtractOptions.plain(lang=lang))
+    kwargs = normalize_reference_kwargs(kwargs)
     return base.with_(**kwargs) if kwargs else base
 
 

@@ -89,6 +89,13 @@ def element_fonts(element) -> list:
     return [w["font"] for w in walk_nodes(element, "word")]
 
 
+def roughly_same_font(f1: dict, f2: dict) -> bool:
+    """Within-20%-of-the-larger font-size equivalence
+    (doc_info.py:36-40). Size units are validated as px at DocStats
+    build time (the reference asserts here instead)."""
+    return abs(f1["size"] - f2["size"]) < max(f1["size"], f2["size"]) * 0.2
+
+
 def modal_font(element):
     """Most common font id; ties break to first-encountered, matching
     Counter.most_common (doc_info.py:63-64)."""
@@ -385,6 +392,18 @@ class ParagraphBuilder:
 
     def wants_newline(self, line, next_line, text_line, text_next_line,
                       paragraph, num_valid_lines) -> bool:
+        # rule 0 (default OFF, like the reference): materially different
+        # modal fonts between adjacent lines force a break
+        # (export.py:332-339, doc_info.py:36-40). Guarded on a valid next
+        # line — the reference would crash computing most_used_font(None).
+        if (self.opts.consider_font_size_linebreak and next_line
+                and text_next_line is not None):
+            f1 = self.stats.font_info.get(modal_font(line))
+            f2 = self.stats.font_info.get(modal_font(next_line))
+            if f1 is not None and f2 is not None \
+                    and not roughly_same_font(f1, f2):
+                return True
+
         avg_space = mean_word_gap(line)
         indent = line["box"]["l"] - paragraph["box"]["l"]
         available = (

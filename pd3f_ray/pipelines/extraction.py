@@ -122,6 +122,83 @@ def extract_elements_from_parquet(
     )
 
 
+def extract_roundtrip(sf_dir: str):
+    """Oracle-checkable end-to-end exercise of the REAL extraction
+    stage: every ``documents`` row is wrapped into a layout the kernel
+    is identity on (one page; one paragraph holding the whole token
+    stream as ONE line — no join-cascade decisions, no dedup/
+    page-number/header-footer candidates; plus a punctuation-only
+    two-line dummy paragraph that the alnum gate drops but that gives
+    DocStats its required line-gap sample), pushed through the
+    ``ExtractDocs`` actor pool under the flagship experimental config,
+    and emitted as (url, text). The oracle appends the renderer's
+    per-paragraph ``\\n\\n`` to ``documents.text`` — i.e. the driver
+    hash-compares the EXTRACTED text byte-for-byte per url (the north
+    rule's per-row invariant) through its own checker instead of a
+    rows-only count."""
+    import pyarrow as pa
+
+    from pd3f_ray.sources.synth import (
+        BODY_FONT,
+        FONTS,
+        LINE_GAP,
+        LINE_H,
+        MARGIN_L,
+        _IdGen,
+        _line,
+        _paragraph,
+    )
+    from pd3f_ray.stages.pages import _dumps
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls, htmls = [], []
+        for did, text in zip(ids, texts):
+            gen = _IdGen()
+            line = _line(gen, text.split(" "), BODY_FONT, 90.0, MARGIN_L)
+            para = _paragraph(gen, [line])
+            d1 = _line(gen, ["..."], BODY_FONT, 500.0, MARGIN_L)
+            d2 = _line(gen, ["..."], BODY_FONT, 500.0 + LINE_H + LINE_GAP,
+                       MARGIN_L)
+            layout = {
+                "pages": [{"elements": [para, _paragraph(gen, [d1, d2])]}],
+                "fonts": [dict(f) for f in FONTS],
+            }
+            urls.append(f"doc://{did}")
+            htmls.append(_dumps(layout))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    extracted = extract_dataset(docs.map_batches(wrap, batch_format="pyarrow"))
+
+    def project(batch):
+        import pyarrow as _pa
+
+        return _pa.table({
+            "url": batch.column("url"),
+            "text": batch.column("text").cast(_pa.string()),
+        })
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+EXTRACT_ROUNDTRIP_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       text || chr(10) || chr(10) AS text
+FROM documents
+"""
+
+
 def _add_url_bucket(num_buckets: int):
     """Map-side url-hash bucket column (crc32 — stable across processes)
     for hash-partitioned output: no extra shuffle, the partitioned write
@@ -169,13 +246,20 @@ def run_resumable(
     shards = mf.plan_shards(files, num_shards)
     done = mf.load_completed(out_dir)
 
-    total = {"shards_done": 0, "shards_skipped": 0, "rows": 0, "errors": 0}
+    total = {"shards_done": 0, "shards_skipped": 0, "shards_stale": 0,
+             "rows": 0, "errors": 0}
     for shard_id, shard_files in enumerate(shards):
         if shard_id in done:
-            total["shards_skipped"] += 1
-            total["rows"] += done[shard_id].get("rows", 0)
-            total["errors"] += done[shard_id].get("errors", 0)
-            continue
+            # lineage check: a shard is only skippable if its recorded
+            # input files match the current plan — adding/removing input
+            # files between runs changes the plan, and silently keeping
+            # the stale output would drop or duplicate documents
+            if done[shard_id].get("input_files") == shard_files:
+                total["shards_skipped"] += 1
+                total["rows"] += done[shard_id].get("rows", 0)
+                total["errors"] += done[shard_id].get("errors", 0)
+                continue
+            total["shards_stale"] += 1  # fall through: reprocess
         tmp = mf.shard_dir(out_dir, shard_id) + ".__tmp"
         if os.path.exists(tmp):
             import shutil

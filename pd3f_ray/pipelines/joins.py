@@ -57,19 +57,41 @@ def hash_join(
     left_key: str,
     right_key: str,
     num_buckets: int = JOIN_BUCKETS,
+    salt: int = 1,
 ) -> "rd.Dataset":
     """Inner join of two Datasets on int64 keys via bucketed
     co-partitioning (one shuffle). Column names must be disjoint apart
-    from the keys."""
+    from the keys.
+
+    ``salt > 1`` handles skewed keys: each LEFT row is assigned one of
+    ``salt`` sub-buckets (round-robin within its batch — any assignment
+    is correct for an inner join) and every RIGHT row is replicated into
+    all ``salt`` sub-buckets, so a hot key's probe rows spread over
+    ``salt`` groups instead of landing in one. Cost: the right side is
+    shipped ``salt`` times — use it with a small/dimension right side."""
 
     def tag(side: str, key: str):
         def fn(batch: pa.Table) -> pa.Table:
             keys = batch.column(key).to_numpy(zero_copy_only=False)
-            b = pa.array(_stable_bucket(keys, num_buckets), pa.int32())
-            batch = batch.append_column("__bucket", b)
-            return batch.append_column(
-                "__side", pa.array([side] * batch.num_rows, pa.string())
-            )
+            base = _stable_bucket(keys, num_buckets).astype(np.int32) * salt
+            if salt > 1:
+                if side == "l":
+                    tables = [(batch, base + np.arange(len(keys),
+                                                       dtype=np.int32) % salt)]
+                else:  # replicate the build side into every sub-bucket
+                    tables = [(batch, base + s) for s in range(salt)]
+            else:
+                tables = [(batch, base)]
+            out = []
+            for tbl, buckets in tables:
+                out.append(
+                    tbl.append_column("__bucket",
+                                      pa.array(buckets, pa.int32()))
+                    .append_column(
+                        "__side",
+                        pa.array([side] * tbl.num_rows, pa.string()))
+                )
+            return pa.concat_tables(out)
         return fn
 
     # column lists + dtypes captured at plan time: the union pads each

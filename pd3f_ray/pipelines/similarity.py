@@ -29,15 +29,41 @@ def _emb(sf_dir: str):
                            columns=["vec_id", "embedding"])
 
 
-def _query_matrix(sf_dir: str, n_queries: int):
+def _smallest_rows(sf_dir: str, n: int):
+    """(ids, vectors) of the n smallest vec_ids, WITHOUT a full-table
+    driver read: pass 1 scans only the 8-byte ``vec_id`` column
+    (column-pruned, streamed per row group) to find the n smallest;
+    pass 2 fetches just those rows' embeddings with a predicate-pushdown
+    read (row groups whose vec_id stats exclude the selection are never
+    touched). Driver memory is O(n) vectors + one id column chunk."""
+    import heapq
+
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    heap: list[int] = []  # max-heap of negated ids, size ≤ n
+    for batch in pf.iter_batches(columns=["vec_id"], batch_size=65536):
+        for v in batch.column("vec_id").to_numpy(zero_copy_only=False):
+            if len(heap) < n:
+                heapq.heappush(heap, -int(v))
+            elif -heap[0] > v:
+                heapq.heapreplace(heap, -int(v))
+    sel = sorted(-h for h in heap)
+    tbl = pads.dataset(path).to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(sel),
+    )
     ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
     vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    order = np.argsort(ids)[:n_queries]  # queries = the n smallest vec_ids
+    order = np.argsort(ids)
     return ids[order], vecs[order]
+
+
+def _query_matrix(sf_dir: str, n_queries: int):
+    # queries = the n smallest vec_ids
+    return _smallest_rows(sf_dir, n_queries)
 
 
 def knn_bruteforce(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES):
@@ -66,8 +92,11 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES):
             if len(cand_ids) == 0:
                 continue
             take = min(k, len(cand_ids))
-            # partial top-k inside the batch; exact order resolved later
-            idx = np.argpartition(-cand_sims, take - 1)[:take]
+            # within-batch top-k with the GLOBAL tiebreak (sim desc,
+            # neighbor_id asc): a plain argpartition on sim could drop a
+            # boundary candidate tied at the k-th place that the final
+            # reduce would have kept — real with duplicate embeddings
+            idx = np.lexsort((cand_ids, -cand_sims))[:take]
             out_q.extend([int(qid)] * take)
             out_n.extend(cand_ids[idx].tolist())
             out_s.extend(cand_sims[idx].tolist())
@@ -188,7 +217,7 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES):
                 continue
             cs = nm[rows] @ qmat[qi]
             take = min(k, len(cid))
-            idx = np.argpartition(-cs, take - 1)[:take]
+            idx = np.lexsort((cid, -cs))[:take]  # same tiebreak as reduce
             out_q.extend([int(qid)] * take)
             out_n.extend(cid[idx].tolist())
             out_s.extend(cs[idx].tolist())
@@ -228,17 +257,13 @@ def _ivf_centroids(sf_dir: str, n_clusters: int = IVF_CLUSTERS,
     by vec_id): seeded init from evenly spaced sample points, fixed
     iteration count, cosine geometry (normalized vectors, mean-then-
     renormalize updates). Driver-side by design — training data is a
-    bounded sample regardless of corpus size; assignment is the
+    bounded sample regardless of corpus size (fetched via the limited
+    two-pass read, never a full-table driver load); assignment is the
     distributed part."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    order = np.argsort(ids)[:IVF_SAMPLE]
-    v = np.array(tbl.column("embedding").to_pylist(),
-                 dtype=np.float64)[order]
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    _, v = _smallest_rows(sf_dir, IVF_SAMPLE)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    v = v / norms
     # evenly spaced deterministic seeds
     seed_idx = np.linspace(0, len(v) - 1, n_clusters).astype(int)
     c = v[seed_idx].copy()
@@ -299,7 +324,7 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
                 if len(cid) == 0:
                     continue
                 take = min(k, len(cid))
-                idx = np.argpartition(-cs, take - 1)[:take]
+                idx = np.lexsort((cid, -cs))[:take]  # same tiebreak as reduce
                 out_q.extend([qid] * take)
                 out_n.extend(cid[idx].tolist())
                 out_s.extend(cs[idx].tolist())

@@ -286,3 +286,69 @@ def test_rule6_punct_end_short_line_joins_with_space():
     doc = _base_doc(ids, [para])
     txt = extract_text(doc, ExtractOptions.plain())
     assert "responsibilities, Considerations" in txt
+
+
+def test_rule0_font_change_forces_newline_when_enabled():
+    # rule 0 (consider_font_size_linebreak, export.py:332-339): the two
+    # lines would join with a space via rule 6 (short line, trailing
+    # punctuation), but with the flag ON the font-size jump (11px body
+    # vs 8px small > 20% of the larger) forces the newline.
+    def build():
+        ids = _IdGen()
+        l1 = _line(ids, ["Reorganization", "notwithstanding",
+                         "responsibilities,"], BODY_FONT, 400.0, MARGIN_L)
+        l2 = _line(ids, ["Considerations", "administrative",
+                         "determinations."], SMALL_FONT, 414.0, MARGIN_L)
+        para = _paragraph(ids, [l1, l2])
+        return _base_doc(ids, [para])
+
+    off = extract_text(build(), ExtractOptions.plain())
+    assert "responsibilities, Considerations" in off  # default: rule 6 wins
+
+    on = extract_text(
+        build(),
+        ExtractOptions.plain().with_(consider_font_size_linebreak=True),
+    )
+    assert "responsibilities,\nConsiderations" in on
+
+
+def test_roughly_same_font_threshold():
+    from pd3f_ray.core.kernel import roughly_same_font
+
+    assert roughly_same_font({"size": 11.0}, {"size": 10.0})
+    assert roughly_same_font({"size": 11.0}, {"size": 9.0})   # 2 < 2.2
+    assert not roughly_same_font({"size": 11.0}, {"size": 8.0})
+    assert not roughly_same_font({"size": 8.0}, {"size": 11.0})
+
+
+def test_reference_kwargs_accepted_with_warning():
+    # reference call sites pass Parsr/OCR/GPU kwargs and the misspelled
+    # `seperate_header_footer`; the reference-shaped API must accept
+    # them (warn + ignore / alias) instead of raising TypeError
+    import warnings
+
+    from pd3f_ray import extract
+    from pd3f_ray.sources.synth import build_layout
+
+    layout, _ = build_layout(3, 42, scenario="plain")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        text, _tbls = extract(
+            dict(layout), experimental=True, lang="en",
+            force_gpu=True, parsr_location="localhost:3001",
+            parsr_config={"x": 1},
+        )
+    assert text
+    assert sum("ignored" in str(w.message) for w in rec) == 3
+
+    # the reference's misspelled kwarg maps onto the real option
+    t2, _ = extract(dict(layout), lang="en", seperate_header_footer=True,
+                    footnotes_last=True, remove_page_number=True)
+    base, _ = extract(dict(layout), experimental=True, lang="en")
+    assert t2 == base
+
+    # unknown non-reference kwargs still raise
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        extract(dict(layout), lang="en", not_a_real_option=1)

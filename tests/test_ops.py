@@ -273,3 +273,47 @@ def test_jaccard_band_edge_pairs(ray_session):
     # each qualifying pair appears exactly once, including the edge pair
     assert pairs == [(1, 2), (3, 4)], pairs
     assert len(got) == len(got.drop_duplicates()), "duplicate pairs emitted"
+
+
+def test_hash_join_salted_skew(ray_session):
+    """A deliberately skewed left side (one hot key with most rows)
+    joined through a salted hash_join must produce the exact inner-join
+    result, with the hot key's probe rows spread across sub-buckets
+    (bounded per-group rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pd3f_ray.pipelines.joins import hash_join
+
+    rng = np.random.RandomState(3)
+    n = 20_000
+    # 90% of rows share key 7 (hot), rest uniform over 100 keys
+    keys = np.where(rng.rand(n) < 0.9, 7, rng.randint(0, 100, n)).astype(np.int64)
+    left = pa.table({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    right = pa.table({"rk": np.arange(100, dtype=np.int64),
+                      "name": [f"n{i}" for i in range(100)]})
+
+    lds = rd.from_arrow(left).map_batches(lambda b: b, batch_size=1000,
+                                          batch_format="pyarrow")
+    rds = rd.from_arrow(right)
+    out = hash_join(lds, rds, "k", "rk", num_buckets=8, salt=4).to_pandas()
+
+    want = left.to_pandas().merge(right.to_pandas(), left_on="k",
+                                  right_on="rk")
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)[want.columns.tolist()]
+    want = want.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_extract_roundtrip_byte_identical(ray_session, con):
+    """The oracle-checked extraction invariant: documents wrapped in the
+    identity-shape layout come back byte-identical (plus the renderer's
+    paragraph terminator) through the real ExtractDocs actor pool."""
+    from pd3f_ray.pipelines.extraction import (
+        EXTRACT_ROUNDTRIP_SQL,
+        extract_roundtrip,
+    )
+
+    _match(extract_roundtrip(SF), EXTRACT_ROUNDTRIP_SQL, con)

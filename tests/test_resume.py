@@ -85,3 +85,30 @@ def test_cli_extract_roundtrip(tmp_path):
     stats = _json.loads(r2.stdout.strip().splitlines()[-1])
     assert stats["rows"] == 80
     assert stats["shards_done"] == 1
+
+
+def test_resume_reprocesses_stale_lineage(ray_session, small_corpus_dir,
+                                          tmp_path):
+    """A completed shard whose recorded input_files no longer match the
+    current plan (input set changed between runs) must be reprocessed,
+    not silently skipped."""
+    import json
+
+    from pd3f_ray.pipelines.extraction import run_resumable
+
+    out = str(tmp_path / "stale")
+    stats = run_resumable(small_corpus_dir, out, num_shards=2)
+    assert stats["shards_done"] == 2
+
+    # tamper shard 0's recorded lineage to simulate a changed input plan
+    manifest = os.path.join(out, "_MANIFEST.jsonl")
+    recs = [json.loads(l) for l in open(manifest).read().splitlines() if l]
+    for r in recs:
+        if r["shard_id"] == 0:
+            r["input_files"] = r["input_files"] + ["/nonexistent/extra.parquet"]
+    open(manifest, "w").write("\n".join(json.dumps(r) for r in recs) + "\n")
+
+    stats2 = run_resumable(small_corpus_dir, out, num_shards=2)
+    assert stats2["shards_stale"] == 1
+    assert stats2["shards_done"] == 1      # shard 0 redone
+    assert stats2["shards_skipped"] == 1   # shard 1 untouched
