@@ -190,15 +190,19 @@ class MediaFeaturizer:
 
 
 def media_features(sf_dir: str, batch_size: int = 256,
-                   concurrency: tuple[int, int] = (1, 4)) -> "rd.Dataset":
+                   concurrency: int = 4) -> "rd.Dataset":
     """Per-media feature rows via the actor-pool featurizer. Rows-only
     check (the stub decode is not SQL-expressible); determinism and
-    schema pinned in tests."""
+    schema pinned in tests. FIXED pool size: the autoscaling ``(1, N)``
+    pool ramps so slowly the run finishes before the pool fills
+    (BASELINE.md perf history); fractional num_cpus leaves read
+    headroom."""
     return media_table(sf_dir).map_batches(
         MediaFeaturizer,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=0.75,
     )
 
 

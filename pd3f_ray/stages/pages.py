@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -50,51 +51,63 @@ def url_bucket(url: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> int:
     return zlib.crc32(url.encode()) % num_buckets
 
 
+def _doc_offsets(sorted_urls: pa.ChunkedArray | pa.Array):
+    """(starts, ends) row offsets of each url run in an already-sorted
+    url column — vectorized adjacent-inequality instead of a per-row
+    Python comparison loop."""
+    u = (sorted_urls.combine_chunks()
+         if isinstance(sorted_urls, pa.ChunkedArray) else sorted_urls)
+    n = len(u)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), u
+    neq = pc.not_equal(u.slice(1), u.slice(0, n - 1))
+    bounds = np.flatnonzero(neq.to_numpy(zero_copy_only=False)) + 1
+    starts = np.concatenate([[0], bounds]).astype(np.int64)
+    ends = np.concatenate([bounds, [n]]).astype(np.int64)
+    return starts, ends, u
+
+
 def assemble_bucket(group: pa.Table) -> pa.Table:
     """One group = all pages of ~(n_docs/num_buckets) urls → one
-    document row per url. Sorted once per bucket; documents split by
-    offset scan over the sorted url column."""
+    document row per url. Sorted once per bucket; url-run boundaries
+    found by one vectorized adjacent-inequality; per-doc columns
+    gathered with Arrow ``take`` at the run starts (the only remaining
+    Python loop parses page payloads, which is inherently per-page)."""
     order = pc.sort_indices(
         group,
         sort_keys=[("url", "ascending"), ("page_idx", "ascending")],
     )
     g = group.take(order)
-    urls = g.column("url").to_pylist()
+    starts, ends, u = _doc_offsets(g.column("url"))
+    start_idx = pa.array(starts)
+    out_url = u.take(start_idx)
+    out_ts = g.column("warc_ts").take(start_idx)
+    out_lang = g.column("lang").take(start_idx)
     blobs = g.column("page_json").to_pylist()
-    tss = g.column("warc_ts").to_pylist()
-    langs = g.column("lang").to_pylist()
 
-    out_url, out_ts, out_html, out_lang = [], [], [], []
-    n = len(urls)
-    i = 0
-    while i < n:
-        j = i
+    out_html = []
+    for d in range(len(starts)):
         pages = []
         fonts = None
         tables = None
-        while j < n and urls[j] == urls[i]:
+        for j in range(starts[d], ends[d]):
             payload = _loads(blobs[j])
             pages.append(payload["page"])
             if fonts is None:
                 fonts = payload.get("fonts", [])
             if tables is None and payload.get("tables"):
                 tables = payload["tables"]
-            j += 1
         doc = {"pages": pages, "fonts": fonts or []}
         if tables:
             doc["tables"] = tables
-        out_url.append(urls[i])
-        out_ts.append(tss[i])
         out_html.append(_dumps(doc))
-        out_lang.append(langs[i])
-        i = j
     return pa.table(
         {
-            "url": pa.array(out_url, pa.string()),
-            "warc_ts": pa.array(out_ts, type=g.column("warc_ts").type),
+            "url": out_url,
+            "warc_ts": out_ts,
             "html": pa.array(out_html, pa.binary()),
-            "text": pa.array([""] * len(out_url), pa.string()),
-            "lang": pa.array(out_lang, pa.string()),
+            "text": pa.array([""] * len(out_html), pa.string()),
+            "lang": out_lang,
         }
     )
 
@@ -152,6 +165,20 @@ def extract_pages_fused(ds, opts=None, num_buckets: int = DEFAULT_NUM_BUCKETS):
     from pd3f_ray.core.scorer import get_scorer
     from pd3f_ray.stages.extract import EXTRACT_SCHEMA
 
+    # push-based sort shuffle is consistently ~8% faster than the
+    # pull-based default on this exchange (A/B at sf0.1, best-of-2
+    # alternating); HASH_SHUFFLE hangs on it (>500 s). DataContext is
+    # process-global — acceptable: every other exchange in this repo is
+    # a small post-pre-aggregation shuffle where the strategy is noise.
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = (
+            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        )
+    except ImportError:  # pragma: no cover — older/newer Ray layouts
+        pass
+
     base = opts or ExtractOptions.experimental()
 
     def add_bucket_compress(batch: pa.Table) -> pa.Table:
@@ -179,63 +206,55 @@ def extract_pages_fused(ds, opts=None, num_buckets: int = DEFAULT_NUM_BUCKETS):
             sort_keys=[("url", "ascending"), ("page_idx", "ascending")],
         )
         g = group.take(order)
-        urls = g.column("url").to_pylist()
+        starts, ends, u = _doc_offsets(g.column("url"))
+        start_idx = pa.array(starts)
+        out_url = u.take(start_idx)
+        out_ts = g.column("warc_ts").take(start_idx)
+        langs = g.column("lang").take(start_idx).to_pylist()
+        raw_lens = g.column("page_raw_len").to_numpy(zero_copy_only=False)
+        # per-doc uncompressed payload size: one vectorized segment sum
+        payloads = (np.add.reduceat(raw_lens, starts).astype(np.int64)
+                    if len(starts) else np.empty(0, np.int64))
         blobs = g.column("page_z").to_pylist()
-        raw_lens = g.column("page_raw_len").to_pylist()
-        tss = g.column("warc_ts").to_pylist()
-        langs = g.column("lang").to_pylist()
 
-        out = {k: [] for k in ("url", "warc_ts", "lang", "text", "n_pages",
-                               "n_elements", "n_chars", "payload_bytes",
+        out = {k: [] for k in ("text", "n_pages", "n_elements", "n_chars",
                                "tables_csv", "n_tables", "error")}
-        n = len(urls)
-        i = 0
-        while i < n:
-            j = i
+        for d in range(len(starts)):
             pages = []
             fonts = None
             tables = None
-            payload_bytes = 0
-            while j < n and urls[j] == urls[i]:
+            for j in range(starts[d], ends[d]):
                 payload = _loads(_z.decompress(blobs[j]))
                 pages.append(payload["page"])
                 if fonts is None:
                     fonts = payload.get("fonts", [])
                 if tables is None and payload.get("tables"):
                     tables = payload["tables"]
-                payload_bytes += raw_lens[j]
-                j += 1
-            lang = langs[i]
+            lang = langs[d]
             o = base if base.lang == lang else base.with_(lang=lang)
             doc = {"pages": pages, "fonts": fonts or []}
             if tables:
                 doc["tables"] = tables
             rec = extract_parsed(doc, o, scorer=get_scorer(lang))
-            out["url"].append(urls[i])
-            out["warc_ts"].append(tss[i])
-            out["lang"].append(lang)
             out["text"].append(rec["text"])
             out["n_pages"].append(rec["n_pages"])
             out["n_elements"].append(rec["n_elements"])
             out["n_chars"].append(len(rec["text"]) if rec["text"] is not None
                                   else 0)
-            out["payload_bytes"].append(payload_bytes)
             tbls = rec.get("tables") or []
             out["tables_csv"].append("\x1d".join(tbls))
             out["n_tables"].append(len(tbls))
             out["error"].append(rec["error"])
-            i = j
         return pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
-                "warc_ts": pa.array(out["warc_ts"],
-                                    type=g.column("warc_ts").type),
-                "lang": pa.array(out["lang"], pa.string()),
+                "url": out_url,
+                "warc_ts": out_ts.cast(pa.timestamp("us")),
+                "lang": pa.array(langs, pa.string()),
                 "text": pa.array(out["text"], pa.large_string()),
                 "n_pages": pa.array(out["n_pages"], pa.int32()),
                 "n_elements": pa.array(out["n_elements"], pa.int32()),
                 "n_chars": pa.array(out["n_chars"], pa.int64()),
-                "payload_bytes": pa.array(out["payload_bytes"], pa.int64()),
+                "payload_bytes": pa.array(payloads, pa.int64()),
                 "tables_csv": pa.array(out["tables_csv"], pa.large_string()),
                 "n_tables": pa.array(out["n_tables"], pa.int32()),
                 "error": pa.array(out["error"], pa.string()),
