@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketches,
         textstats,
         windows,
     )
@@ -184,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": dedup.simhash_docs,        # bit sketch → rows-only
         "embdup_cosine": dedup.embdup_cosine,
         "embdup_lsh": dedup.embdup_lsh,            # approximate → rows-only
+        "dedup_clusters": dedup.dedup_clusters,
         # text analysis
         "token_stats": textstats.token_stats,
         "doc_fingerprint": textstats.doc_fingerprint,
@@ -191,6 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "sample_docs": textstats.sample_docs,
         "top_tokens": textstats.top_tokens,
+        # cardinality sketches
+        "distinct_users": sketches.distinct_users,
+        "approx_distinct_users": sketches.approx_distinct_users,  # rows-only
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only
@@ -209,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         multimodal,
         relational,
         similarity,
+        sketches,
         textstats,
         windows,
     )
@@ -230,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
+        "dedup_clusters": dedup.dedup_clusters_sql(),
         "embdup_cosine": dedup.EMBDUP_COSINE_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
@@ -238,5 +245,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": textstats.SAMPLE_DOCS_SQL,
         "top_tokens": textstats.top_tokens_sql(),
         "knn_bruteforce": similarity.knn_sql(),
+        "distinct_users": sketches.DISTINCT_USERS_SQL,
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,
     }

@@ -520,6 +520,115 @@ def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
 
 
 # ---------------------------------------------------------------------------
+# connected-component dedup clusters (canonicalization over dup pairs)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 8
+
+
+def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+                   max_iters: int = CC_MAX_ITERS):
+    """Canonical cluster id per near-duplicate document: connected
+    components over the exact ``jaccard_pairs`` edge set, computed by
+    distributed min-label propagation — iteration k joins every node's
+    current label to its neighbors (bucketed hash join), then a
+    groupby(node) Min collapses to the new labels; converged when the
+    total label sum stops falling (it decreases strictly until the
+    fixpoint). Components of near-dup graphs are shallow (dup clusters,
+    not social graphs), so iterations ≈ cluster diameter; the
+    per-iteration label table (one row per node WITH an edge, not per
+    corpus row) is materialized to keep lineage flat AND repartitioned
+    to a fixed block count — without that, each union+groupby round
+    multiplies tiny blocks and per-task dispatch swamps the iteration
+    (measured 2.3 s → 134 s by iteration 4). Output
+    (doc_id, cluster_id = min doc_id reachable), oracle-checked against
+    a recursive-SQL reachability query."""
+    from pd3f_ray.pipelines.joins import hash_join
+
+    pairs = jaccard_pairs(sf_dir, threshold)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                "peer": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def _arrow(b: pa.Table) -> pa.Table:
+        return b  # identity pass: coerces aggregate output blocks to Arrow
+
+    # block count for the label table: a fixed handful here; at corpus
+    # scale set ≈ nodes-with-edges / 1e6 so blocks stay bounded
+    label_blocks = 8
+
+    # initial label = own id, one row per distinct node
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("node", alias_name="label"))
+        .map_batches(_arrow, batch_format="pyarrow")
+        .repartition(label_blocks)
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        # neighbor labels: edges(node, peer) ⋈ labels(lnode, label) on peer
+        lab_r = labels.map_batches(
+            lambda b: b.rename_columns(["lnode", "label"]),
+            batch_format="pyarrow",
+        )
+        neigh = hash_join(edges, lab_r, "peer", "lnode", num_buckets=32)
+        prop = neigh.map_batches(
+            lambda b: b.select(["node", "label"]), batch_format="pyarrow"
+        ).union(labels)
+        labels = (
+            prop.groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_arrow, batch_format="pyarrow")
+            .repartition(label_blocks)
+            .materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_clusters_sql(threshold: float = JACCARD_THRESHOLD) -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= {CHAR_BAND}
+  WHERE jaccard(a.text, b.text) > {threshold}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(n, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.n
+)
+SELECT n AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY n
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprints (bit-sketch dedup family)
 # ---------------------------------------------------------------------------
 

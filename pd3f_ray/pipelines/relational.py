@@ -101,17 +101,14 @@ def q1_pricing(sf_dir: str):
                 "disc_cents": disc_cents,
             }
         )
-        df = t.to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                n_rows=("qty", "size"),
-                sum_qty=("qty", "sum"),
-                sum_base_cents=("base_cents", "sum"),
-                sum_disc_cents=("disc_cents", "sum"),
-            )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "count"), ("qty", "sum"), ("base_cents", "sum"),
+             ("disc_cents", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+             "sum_base_cents", "sum_disc_cents"]
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -199,12 +196,14 @@ def segment_order_stats(sf_dir: str):
         seg = ray.get(seg_ref)
         keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
         segs = [seg.get(int(k), "UNKNOWN") for k in keys]
-        cents = _cents(batch.column("o_totalprice")).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"c_mktsegment": segs, "cents": cents})
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("cents", "size"), sum_total_cents=("cents", "sum")
+        cents = _cents(batch.column("o_totalprice"))
+        g = pa.table(
+            {"c_mktsegment": pa.array(segs, pa.string()), "cents": cents}
+        ).group_by(["c_mktsegment"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["c_mktsegment", "n_orders", "sum_total_cents"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -250,17 +249,17 @@ def events_hourly(sf_dir: str):
                      options=_round_opts()),
             pa.int64(),
         )
-        df = pa.table(
+        g = pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "window_id": window,
                 "micros": micros,
             }
-        ).to_pandas()
-        g = df.groupby(["event_type", "window_id"], as_index=False).agg(
-            n_events=("micros", "size"), sum_value_micros=("micros", "sum")
+        ).group_by(["event_type", "window_id"]).aggregate(
+            [("micros", "count"), ("micros", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["event_type", "window_id", "n_events", "sum_value_micros"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

@@ -1,0 +1,157 @@
+"""Cardinality sketches over the ``events`` table.
+
+Two implementations of per-event-type distinct-user counting:
+
+- **distinct_users** — exact, oracle-checked: per-batch pair dedup
+  (map-side), one hash-aggregate exchange on (event_type, user_id),
+  then a tiny per-type count. The exchange carries distinct pairs only.
+- **approx_distinct_users** — HyperLogLog (Flajolet et al. 2007,
+  p=12 → 4096 registers, ~1.6% standard error): each batch reduces to
+  ONE 4 KB register row per event_type present, the only exchange
+  groups a handful of register rows per type, and registers merge by
+  elementwise max — the constant-size-sketch pattern that replaces the
+  exact plan when the distinct set itself is too big to shuffle.
+  Rows-only check; relative error pinned against the exact op in tests.
+
+No reference counterpart (the reference is a single-document extractor);
+this is part of the engine's large-scale training-data toolkit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count
+
+HLL_P = 12  # 2^12 registers
+HLL_M = 1 << HLL_P
+
+
+def _events(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=columns)
+
+
+def distinct_users(sf_dir: str):
+    """Exact distinct user_id count per event_type. Output
+    (event_type, n_users)."""
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    def batch_dedup(batch: pa.Table) -> pa.Table:
+        # map-side pre-dedup: the exchange then moves distinct pairs
+        # per block, not raw events
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    pairs = (
+        ds.map_batches(batch_dedup, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_type"])
+
+    return (
+        pairs.map_batches(strip, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — the same stable integer mix used by the
+    join bucketing (joins._stable_bucket), kept full-width here."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hll_registers(user_ids: np.ndarray) -> np.ndarray:
+    """4096 uint8 registers for one value set (vectorized)."""
+    h = _mix64(user_ids)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # rank = leading zeros of the remaining 64-P bits + 1
+    lz = np.zeros(len(h), dtype=np.uint8)
+    probe = np.uint64(1) << np.uint64(63)
+    mask_undecided = np.ones(len(h), dtype=bool)
+    for r in range(64 - HLL_P + 1):
+        hit = mask_undecided & ((rest & probe) != 0)
+        lz[hit] = r
+        mask_undecided &= ~hit
+        probe >>= np.uint64(1)
+        if not mask_undecided.any():
+            break
+    rank = lz + 1
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    correction (Flajolet et al. 2007)."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def approx_distinct_users(sf_dir: str):
+    """HLL distinct user_id count per event_type. Each batch emits one
+    4 KB register row per event_type present; the exchange groups a few
+    register rows per type and merges by elementwise max. Output
+    (event_type, n_users_approx). Rows-only (sketch estimate)."""
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        types, out_regs = [], []
+        for t in pd.unique(et):
+            types.append(t)
+            out_regs.append(_hll_registers(uid[et == t]).tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "regs": pa.array(out_regs, pa.binary()),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(
+            [np.frombuffer(b, dtype=np.uint8) for b in group["regs"]]
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n_users_approx": pd.Series([_hll_estimate(regs)],
+                                            dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(batch_sketch, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )

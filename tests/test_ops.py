@@ -317,3 +317,64 @@ def test_extract_roundtrip_byte_identical(ray_session, con):
     )
 
     _match(extract_roundtrip(SF), EXTRACT_ROUNDTRIP_SQL, con)
+
+
+def test_dedup_clusters_oracle(ray_session, con):
+    """Connected-component labels over the exact near-dup pair set must
+    match the recursive-SQL reachability oracle (min reachable doc_id
+    per node)."""
+    from pd3f_ray.pipelines.dedup import dedup_clusters, dedup_clusters_sql
+
+    _match(dedup_clusters(SF), dedup_clusters_sql(), con)
+
+
+def test_dedup_clusters_chain_convergence(ray_session, tmp_path):
+    """A chain cluster a-b-c-d-e (only adjacent pairs similar) needs
+    diameter-many propagation rounds — every node must still collapse
+    to the chain minimum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.dedup import dedup_clusters
+
+    # adjacent docs differ by one appended char => byte-set jaccard high
+    # only for neighbors; n_chars ascending keeps the +/-2 window tight
+    base = "abcdefghijklmnopqrstuvwxyz" * 4
+    texts, chars = [], []
+    for i in range(5):
+        texts.append(base + "z" * i)
+        chars.append(len(base) + i)
+    tbl = pa.table({
+        "doc_id": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "n_chars": pa.array(chars, pa.int64()),
+    })
+    d = str(tmp_path / "chain")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    got = dedup_clusters(d, threshold=0.9).to_pandas()
+    assert set(got["cluster_id"]) == {10}, got
+    assert sorted(got["doc_id"]) == [10, 20, 30, 40, 50]
+
+
+def test_distinct_users_oracle(ray_session, con):
+    from pd3f_ray.pipelines.sketches import DISTINCT_USERS_SQL, distinct_users
+
+    _match(distinct_users(SF), DISTINCT_USERS_SQL, con)
+
+
+def test_approx_distinct_users_error_bound(ray_session, con):
+    """HLL estimate (p=12, ~1.6% standard error) must land within 5% of
+    the exact distinct count for every event_type."""
+    from pd3f_ray.pipelines.sketches import approx_distinct_users
+
+    got = approx_distinct_users(SF).to_pandas().set_index("event_type")
+    want = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events "
+        "GROUP BY event_type").df().set_index("event_type")
+    assert set(got.index) == set(want.index)
+    for t in want.index:
+        exact = int(want.loc[t, "n"])
+        approx = int(got.loc[t, "n_users_approx"])
+        assert abs(approx - exact) <= max(2, 0.05 * exact), (t, approx, exact)
