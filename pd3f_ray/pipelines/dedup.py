@@ -322,15 +322,17 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
 
     endpoints = pairs.map_batches(explode, batch_format="pyarrow")
     with_text = hash_join(endpoints, _docs(sf_dir, ["doc_id", "text"]),
-                          "join_id", "doc_id")
+                          "join_id", "doc_id", num_buckets=64)
 
     # co-locate the two endpoints of each pair: bucket on id_a (pairs
     # sharing an anchor land together, which also warms the shingle
     # cache), groupby bucket, verify in-group
     def pair_bucket(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        # 128 verify groups — candidate pairs are a small fraction of the
+        # corpus, and per-group map_groups dispatch costs ~0.5 ms
         return batch.append_column(
-            "pbucket", pa.array(_stable_bucket(a, MINHASH_BUCKETS), pa.int32())
+            "pbucket", pa.array(_stable_bucket(a, 128), pa.int32())
         )
 
     def verify_group(group: pd.DataFrame) -> pd.DataFrame:
@@ -557,14 +559,16 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
             }
         )
 
-    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    # the edge/label tables are PAIR-scale (nodes with a near-dup), not
+    # corpus-scale — repartition both to a handful of blocks so each
+    # propagation round launches a handful of tasks, not one per
+    # upstream bucket; at corpus scale set blocks ≈ rows / 1e6
+    label_blocks = 4
+    edges = (pairs.map_batches(symmetrize, batch_format="pyarrow")
+             .repartition(label_blocks).materialize())
 
     def _arrow(b: pa.Table) -> pa.Table:
         return b  # identity pass: coerces aggregate output blocks to Arrow
-
-    # block count for the label table: a fixed handful here; at corpus
-    # scale set ≈ nodes-with-edges / 1e6 so blocks stay bounded
-    label_blocks = 8
 
     # initial label = own id, one row per distinct node
     labels = (
@@ -577,15 +581,28 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
     prev_sum = labels.sum("label")
 
     for _ in range(max_iters):
-        # neighbor labels: edges(node, peer) ⋈ labels(lnode, label) on peer
+        # one round folds TWO label moves into a single execution —
+        # neighbor propagation (1 hop) plus a pointer jump
+        # (label ← label(label), the classic doubling step) — so rounds
+        # needed ≈ log2(diameter) + 1 instead of diameter, and each
+        # round pays the fixed exchange overhead once
         lab_r = labels.map_batches(
             lambda b: b.rename_columns(["lnode", "label"]),
             batch_format="pyarrow",
         )
-        neigh = hash_join(edges, lab_r, "peer", "lnode", num_buckets=32)
-        prop = neigh.map_batches(
-            lambda b: b.select(["node", "label"]), batch_format="pyarrow"
-        ).union(labels)
+        neigh = hash_join(edges, lab_r, "peer", "lnode", num_buckets=16)
+        own = labels.map_batches(
+            lambda b: b.rename_columns(["node", "plabel"]),
+            batch_format="pyarrow",
+        )
+        jump = hash_join(own, lab_r, "plabel", "lnode", num_buckets=16)
+        prop = (
+            neigh.map_batches(lambda b: b.select(["node", "label"]),
+                              batch_format="pyarrow")
+            .union(jump.map_batches(lambda b: b.select(["node", "label"]),
+                                    batch_format="pyarrow"))
+            .union(labels)
+        )
         labels = (
             prop.groupby("node")
             .aggregate(Min("label", alias_name="label"))
