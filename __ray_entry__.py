@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         curation,
         dedup,
+        embed,
         joins,
         multimodal,
         relational,
@@ -193,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "sample_docs": textstats.sample_docs,
         "top_tokens": textstats.top_tokens,
+        # embedding generation (actor-pool inference shape; rows-only)
+        "embed_docs": embed.embed_docs_flat,
         # cardinality sketches
         "distinct_users": sketches.distinct_users,
         "approx_distinct_users": sketches.approx_distinct_users,  # rows-only

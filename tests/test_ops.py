@@ -378,3 +378,37 @@ def test_approx_distinct_users_error_bound(ray_session, con):
         exact = int(want.loc[t, "n"])
         approx = int(got.loc[t, "n_users_approx"])
         assert abs(approx - exact) <= max(2, 0.05 * exact), (t, approx, exact)
+
+
+def test_embed_docs_deterministic_unit_norm(ray_session):
+    """Actor-pool embedding stage: unit-norm float32 vectors, identical
+    across two runs (and across batch boundaries), near-dup documents
+    land close in cosine space."""
+    import numpy as np
+
+    from pd3f_ray.pipelines.embed import embed_docs
+
+    a = embed_docs(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = embed_docs(SF, batch_size=37).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(a) == 500
+    va = np.array(a["embedding"].tolist(), dtype=np.float32)
+    vb = np.array(b["embedding"].tolist(), dtype=np.float32)
+    assert np.array_equal(va, vb)  # deterministic, batch-size invariant
+    norms = np.linalg.norm(va, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0, atol=1e-5)
+
+    # exact duplicate texts must embed identically (cosine == 1)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{os.path.join(SF, 'documents.parquet')}')")
+    dup = con.execute(
+        "SELECT min(doc_id) a, max(doc_id) b FROM documents "
+        "GROUP BY md5(text) HAVING count(*) > 1 LIMIT 1").df()
+    if len(dup):
+        ids = a.set_index("doc_id")
+        x = np.array(ids.loc[int(dup.a[0]), "embedding"], dtype=np.float32)
+        y = np.array(ids.loc[int(dup.b[0]), "embedding"], dtype=np.float32)
+        assert float(x @ y) > 0.999999
