@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed / order-dependent (bucketed shuffle + in-group sort)
         "user_sessions": windows.user_sessions,
         "purchase_attribution": windows.purchase_attribution,
+        "events_sliding": windows.events_sliding,
         # dedup family
         "curate_docs": curation.curate_docs,
         "dedup_exact": dedup.dedup_exact,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
+        "events_sliding": windows.EVENTS_SLIDING_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,

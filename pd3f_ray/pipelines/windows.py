@@ -155,3 +155,79 @@ SELECT p.event_id,
 FROM events p
 WHERE p.event_type = 'purchase'
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding event-time windows (1 h window, 15 min slide)
+# ---------------------------------------------------------------------------
+
+SLIDE_US = 900_000_000        # 15 min
+SLIDE_WINDOW_US = 3_600_000_000  # 1 h → each event lands in 4 windows
+
+def events_sliding(sf_dir: str):
+    """Sliding 1-hour windows advancing every 15 minutes, per
+    event_type: each event contributes to WINDOW/SLIDE = 4 consecutive
+    windows (window w covers [w*SLIDE, w*SLIDE + WINDOW)). The map side
+    explodes each event into its 4 (event_type, window_id) partials and
+    pre-aggregates within the batch, so the one exchange carries
+    per-(batch, type, window) partials — the replication factor never
+    reaches the shuffle. Output (event_type, window_id, n_events,
+    sum_value_micros); oracle-checked against a generate_series
+    LATERAL join."""
+    import pyarrow.compute as pc
+
+    from pd3f_ray.pipelines.relational import _round_opts
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+    k = SLIDE_WINDOW_US // SLIDE_US  # windows per event
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        micros = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), pa.scalar(1e6)),
+                     options=_round_opts()),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        w_max = us // SLIDE_US
+        et = batch.column("event_type")
+        parts = []
+        for off in range(k):
+            parts.append(pa.table({
+                "event_type": et,
+                "window_id": pa.array(w_max - off, pa.int64()),
+                "micros": pa.array(micros, pa.int64()),
+            }))
+        g = pa.concat_tables(parts).group_by(
+            ["event_type", "window_id"]).aggregate(
+            [("micros", "count"), ("micros", "sum")])
+        return g.rename_columns(
+            ["event_type", "window_id", "n_events", "sum_value_micros"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_micros", alias_name="sum_value_micros"),
+        )
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH exploded AS (
+  SELECT event_type,
+         unnest(generate_series(
+            CAST(epoch_us(ts) // {SLIDE_US} AS BIGINT)
+                - {SLIDE_WINDOW_US // SLIDE_US - 1},
+            CAST(epoch_us(ts) // {SLIDE_US} AS BIGINT))) AS window_id,
+         CAST(round(value * 1000000) AS BIGINT) AS micros
+  FROM events
+)
+SELECT event_type, window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(micros) AS BIGINT) AS sum_value_micros
+FROM exploded GROUP BY event_type, window_id
+"""

@@ -412,3 +412,11 @@ def test_embed_docs_deterministic_unit_norm(ray_session):
         x = np.array(ids.loc[int(dup.a[0]), "embedding"], dtype=np.float32)
         y = np.array(ids.loc[int(dup.b[0]), "embedding"], dtype=np.float32)
         assert float(x @ y) > 0.999999
+
+
+def test_events_sliding_oracle(ray_session, con):
+    """Sliding 1h/15min windows: map-side explode×4 + in-batch partial
+    agg must match the generate_series-unnest oracle exactly."""
+    from pd3f_ray.pipelines.windows import EVENTS_SLIDING_SQL, events_sliding
+
+    _match(events_sliding(SF), EVENTS_SLIDING_SQL, con)
