@@ -1,6 +1,6 @@
 """Deduplication pipelines over the ``documents`` table.
 
-Four families, each a first-class training-data operator:
+Operator families, each a first-class training-data component:
 
 - **exact**: hash-partition on the content digest, keep the smallest
   doc_id per group (oracle-checked).
@@ -29,7 +29,6 @@ from pd3f_ray.functions.textfns import (
     masks_for,
     md5_hex,
     minhash_signature,
-    pairwise_byteset_jaccard,
     word_shingles,
 )
 
