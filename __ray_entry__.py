@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         sketches,
         textstats,
+        webtext,
         windows,
     )
 
@@ -165,6 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # identity-shape layout, run through the real ExtractDocs actor
         # pool; driver hash-compares extracted text byte-per-url
         "extract_roundtrip": _q_extract_roundtrip,
+        # oracle-CHECKED html boilerplate strip: documents wrapped in a
+        # full HTML page with injected nav/sidebar/footer; the
+        # main-content stage must return the body text byte-identical
+        "html_roundtrip": webtext.html_roundtrip,
         # relational / wide ops (oracle-checked)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -224,9 +229,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from pd3f_ray.pipelines.extraction import EXTRACT_ROUNDTRIP_SQL
+    from pd3f_ray.pipelines.webtext import HTML_ROUNDTRIP_SQL
 
     return {
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
+        "html_roundtrip": HTML_ROUNDTRIP_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,

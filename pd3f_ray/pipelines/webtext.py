@@ -1,0 +1,94 @@
+"""Web-page main-content pipelines (HTML boilerplate strip).
+
+``html_roundtrip`` is the oracle-checked exercise of the
+``HtmlMainExtractor`` stage: every ``documents`` row is wrapped into a
+full HTML page with injected boilerplate (nav menu, link-dense sidebar,
+footer) around the real text split into <p> blocks; the extractor must
+drop every injected region and return the body text byte-identical —
+the driver hash-compares per url against ``SELECT url, text FROM
+documents``. The same stage runs unmodified over real HTML corpora.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from pd3f_ray.stages.htmlmain import HtmlMainExtractor
+
+CHUNK_TOKENS = 40
+_MIN_TAIL_CHARS = 25  # keep the last <p> above the classifier threshold
+
+_BOILER_HEAD = (
+    "<html><head><title>doc</title></head><body>"
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About'
+    "</a></li><li><a href=\"/contact\">Contact</a></li></ul></nav>"
+    '<div id="main">'
+)
+_BOILER_TAIL = (
+    "</div>"
+    '<aside><p><a href="/r/1">Related article one</a> '
+    '<a href="/r/2">Related article two</a> '
+    '<a href="/r/3">More related links here</a></p></aside>'
+    '<footer><p><a href="/privacy">Privacy</a> | <a href="/terms">Terms'
+    "</a> | (c) 2026 Example Corp. All rights reserved.</p></footer>"
+    "</body></html>"
+)
+
+
+def wrap_in_boilerplate(text: str) -> str:
+    """Deterministic HTML page: the text split into <p> chunks of
+    CHUNK_TOKENS tokens (short tail merged into the previous chunk so
+    every block clears the classifier's length threshold), surrounded
+    by nav/sidebar/footer boilerplate."""
+    toks = text.split(" ")
+    chunks = [" ".join(toks[i:i + CHUNK_TOKENS])
+              for i in range(0, len(toks), CHUNK_TOKENS)]
+    if len(chunks) > 1 and len(chunks[-1]) < _MIN_TAIL_CHARS:
+        chunks[-2] = chunks[-2] + " " + chunks[-1]
+        chunks.pop()
+    body = "".join(f"<p>{_html.escape(c)}</p>" for c in chunks)
+    return _BOILER_HEAD + body + _BOILER_TAIL
+
+
+def html_roundtrip(sf_dir: str):
+    """(url, text) through wrap → HtmlMainExtractor(joiner=' ') —
+    byte-identical to the documents table per url (oracle-checked)."""
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"doc://{d}" for d in ids], pa.string()),
+                "html": pa.array(
+                    [wrap_in_boilerplate(t).encode() for t in texts],
+                    pa.binary()),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    extracted = ds.map_batches(wrap, batch_format="pyarrow").map_batches(
+        HtmlMainExtractor,
+        fn_constructor_kwargs={"joiner": " "},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=4,
+        num_cpus=0.75,
+    )
+    return extracted.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "text": b.column("text").cast(pa.string())}),
+        batch_format="pyarrow",
+    )
+
+
+HTML_ROUNDTRIP_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       text
+FROM documents
+"""

@@ -1,0 +1,67 @@
+"""HTML boilerplate strip: block classifier unit tests + the
+byte-identical roundtrip through the actor-pool stage."""
+
+import os
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_block_classifier_features():
+    from pd3f_ray.stages.htmlmain import html_blocks, main_text
+
+    html = (
+        "<html><body>"
+        "<nav><a href='/'>Home</a> <a href='/x'>About us page</a></nav>"
+        "<p>This paragraph is long enough to be kept as main content "
+        "and has no links at all inside it.</p>"
+        "<p>Short.</p>"
+        "<p>This block is long enough but is essentially a list of "
+        "<a href='/1'>link one text</a> <a href='/2'>link two text</a> "
+        "<a href='/3'>link three text</a> <a href='/4'>link four</a> "
+        "<a href='/5'>link five text here</a></p>"
+        "<footer><p>A footer sentence that is definitely long enough "
+        "to pass the length threshold.</p></footer>"
+        "</body></html>"
+    )
+    blocks = html_blocks(html)
+    mains = [b for b in blocks if b["is_main"]]
+    assert len(mains) == 1
+    assert mains[0]["text"].startswith("This paragraph is long enough")
+    # the nav block is link-dense AND in a drop region
+    nav = next(b for b in blocks if "Home" in b["text"])
+    assert nav["in_drop_region"] and not nav["is_main"]
+    # short block dropped by length, link farm by density, footer by region
+    short = next(b for b in blocks if b["text"] == "Short.")
+    assert not short["is_main"]
+    farm = next(b for b in blocks if "link one text" in b["text"])
+    assert farm["link_density"] > 0.33 and not farm["is_main"]
+    foot = next(b for b in blocks if "footer sentence" in b["text"])
+    assert foot["in_drop_region"] and not foot["is_main"]
+    assert main_text(html).startswith("This paragraph")
+
+
+def test_entity_unescape_roundtrip():
+    from pd3f_ray.pipelines.webtext import wrap_in_boilerplate
+    from pd3f_ray.stages.htmlmain import main_text
+
+    text = ("tokens with specials like a<b and x&y plus \"quotes\" "
+            "survive escaping and unescaping byte for byte exactly")
+    assert main_text(wrap_in_boilerplate(text), joiner=" ") == text
+
+
+def test_html_roundtrip_oracle(ray_session):
+    from pd3f_ray.pipelines.webtext import HTML_ROUNDTRIP_SQL, html_roundtrip
+
+    got = (html_roundtrip(SF).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(SF, 'documents.parquet')}')")
+    want = (con.execute(HTML_ROUNDTRIP_SQL).df()
+            .sort_values("url").reset_index(drop=True))
+    assert (got["text"] == want["text"]).all()
+    assert len(got) == 500
