@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
         "jaccard_pairs": dedup.jaccard_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_pairs": dedup.minhash_pairs,      # approximate → rows-only
         "simhash_docs": dedup.simhash_docs,        # bit sketch → rows-only
         "embdup_cosine": dedup.embdup_cosine,
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "embdup_cosine": dedup.EMBDUP_COSINE_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,

@@ -123,6 +123,28 @@ CHAR_BAND = 2
 LENGTH_BAND_W = 64  # chars per length band — bounds a shuffle group
 
 
+
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """Length-band shuffle rows with ghost replication: each doc gets
+    its native ``(band = n_chars // LENGTH_BAND_W)`` row; docs within
+    CHAR_BAND of a band's lower edge are replicated into the previous
+    band as non-native window candidates (see jaccard_pairs)."""
+    chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+    band = (chars // LENGTH_BAND_W).astype(np.int64)
+    native = batch.append_column(
+        "band", pa.array(band, pa.int64())
+    ).append_column("native", pa.array(np.ones(len(chars), bool)))
+    ghost_mask = (chars % LENGTH_BAND_W < CHAR_BAND) & (band > 0)
+    if not ghost_mask.any():
+        return native
+    ghosts = batch.filter(pa.array(ghost_mask)).append_column(
+        "band", pa.array(band[ghost_mask] - 1, pa.int64())
+    ).append_column(
+        "native", pa.array(np.zeros(int(ghost_mask.sum()), bool))
+    )
+    return pa.concat_tables([native, ghosts])
+
+
 def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     """Same-language document pairs within ±CHAR_BAND chars of each other
     whose byte-set Jaccard exceeds the threshold.
@@ -142,22 +164,6 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     the probabilistic scale path.
     """
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
-        band = (chars // LENGTH_BAND_W).astype(np.int64)
-        native = batch.append_column(
-            "band", pa.array(band, pa.int64())
-        ).append_column("native", pa.array(np.ones(len(chars), bool)))
-        ghost_mask = (chars % LENGTH_BAND_W < CHAR_BAND) & (band > 0)
-        if not ghost_mask.any():
-            return native
-        ghosts = batch.filter(pa.array(ghost_mask)).append_column(
-            "band", pa.array(band[ghost_mask] - 1, pa.int64())
-        ).append_column(
-            "native", pa.array(np.zeros(int(ghost_mask.sum()), bool))
-        )
-        return pa.concat_tables([native, ghosts])
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
         order = np.lexsort((group["doc_id"].to_numpy(),
@@ -193,7 +199,7 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
                              "id_b": pd.Series(out_b, dtype="int64")})
 
     return (
-        ds.map_batches(band_rows, batch_format="pyarrow")
+        ds.map_batches(_band_rows, batch_format="pyarrow")
         .groupby(["lang", "band"])
         .map_groups(block_pairs, batch_format="pandas")
     )
@@ -208,6 +214,88 @@ JOIN documents b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
  AND abs(a.n_chars - b.n_chars) <= {CHAR_BAND}
 WHERE jaccard(a.text, b.text) > {threshold}
+"""
+
+
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.6
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = NGRAM_THRESHOLD,
+                        n: int = NGRAM_N):
+    """Character-n-gram (n=3) set Jaccard near-dup pairs — the
+    order-sensitive exact variant (byte-set Jaccard above ignores
+    sequence; trigrams capture it). Same length-banded ghost-overlap
+    shuffle as ``jaccard_pairs``; inside a group the trigram sets are
+    built once per doc and compared over the ±CHAR_BAND window.
+    Oracle-checked against a substring-explosion SQL (DISTINCT
+    substr(text, i, 3) per doc, intersection counts via self-join)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((group["doc_id"].to_numpy(),
+                            group["n_chars"].to_numpy()))
+        ids = group["doc_id"].to_numpy()[order]
+        chars = group["n_chars"].to_numpy()[order]
+        texts = group["text"].to_numpy()[order]
+        native = group["native"].to_numpy()[order]
+        grams = [frozenset(t[i:i + n] for i in range(len(t) - n + 1))
+                 for t in texts]
+        out_a, out_b = [], []
+        m = len(ids)
+        for i in range(m):
+            if not native[i]:
+                continue
+            j = i + 1
+            while j < m and chars[j] - chars[i] <= CHAR_BAND:
+                ga, gb = grams[i], grams[j]
+                inter = len(ga & gb)
+                union = len(ga) + len(gb) - inter
+                if union and inter / union > threshold:
+                    a, b = ids[i], ids[j]
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
+                j += 1
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64")})
+
+    return (
+        ds.map_batches(_band_rows, batch_format="pyarrow")
+        .groupby(["lang", "band"])
+        .map_groups(block_pairs, batch_format="pandas")
+    )
+
+
+def ngram_jaccard_sql(threshold: float = NGRAM_THRESHOLD,
+                      n: int = NGRAM_N) -> str:
+    return f"""
+WITH idx AS (
+  SELECT doc_id, lang, n_chars, text,
+         unnest(generate_series(1, length(text) - {n - 1})) AS i
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, {n}) AS g FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= {CHAR_BAND}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.ni AS DOUBLE) / (sa.sz + sb.sz - i.ni) > {threshold}
 """
 
 
@@ -294,7 +382,7 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
                              "id_b": pd.Series(out_b, dtype="int64")})
 
     candidates = (
-        ds.map_batches(band_rows, batch_format="pyarrow")
+        ds.map_batches(_band_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )

@@ -420,3 +420,9 @@ def test_events_sliding_oracle(ray_session, con):
     from pd3f_ray.pipelines.windows import EVENTS_SLIDING_SQL, events_sliding
 
     _match(events_sliding(SF), EVENTS_SLIDING_SQL, con)
+
+
+def test_ngram_jaccard_pairs_oracle(ray_session, con):
+    from pd3f_ray.pipelines.dedup import ngram_jaccard_pairs, ngram_jaccard_sql
+
+    _match(ngram_jaccard_pairs(SF), ngram_jaccard_sql(), con)
