@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         # text analysis
         "token_stats": textstats.token_stats,
+        "token_count_regex": textstats.token_count_regex,
         "doc_fingerprint": textstats.doc_fingerprint,
         "lang_quality": textstats.lang_quality,
         "lang_id": textstats.lang_id,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "embdup_cosine": dedup.EMBDUP_COSINE_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
+        "token_count_regex": textstats.TOKEN_COUNT_REGEX_SQL,
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "lang_quality": textstats.LANG_QUALITY_SQL,
         "lang_id": textstats.LANG_ID_SQL,

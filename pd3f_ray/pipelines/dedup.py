@@ -382,7 +382,7 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
                              "id_b": pd.Series(out_b, dtype="int64")})
 
     candidates = (
-        ds.map_batches(_band_rows, batch_format="pyarrow")
+        ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )

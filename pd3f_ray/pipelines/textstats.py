@@ -278,3 +278,50 @@ GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE-style regex token counting
+# ---------------------------------------------------------------------------
+
+# GPT-2-family pre-tokenizer shape, restricted to ASCII classes so the
+# RE2 engine in the DuckDB oracle and Python's re agree match-for-match
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+_BPE_RE = None
+
+
+def token_count_regex(sf_dir: str):
+    """Per document: BPE-pre-tokenizer-style token count (the regex
+    split a GPT-2-family tokenizer applies before BPE merges) next to
+    the whitespace count. Oracle via DuckDB regexp_extract_all with the
+    same pattern. Output (doc_id, n_tokens_ws, n_tokens_re)."""
+    import re
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        global _BPE_RE
+        if _BPE_RE is None:  # compiled once per worker process
+            _BPE_RE = re.compile(BPE_PATTERN)
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens_ws": pa.array(
+                    [len(t.split(" ")) for t in texts], pa.int64()),
+                "n_tokens_re": pa.array(
+                    [len(_BPE_RE.findall(t)) for t in texts], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+_BPE_SQL_PATTERN = BPE_PATTERN.replace("'", "''")  # SQL literal escaping
+
+TOKEN_COUNT_REGEX_SQL = f"""
+SELECT doc_id,
+       len(string_split(text, ' '))                          AS n_tokens_ws,
+       len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))   AS n_tokens_re
+FROM documents
+"""

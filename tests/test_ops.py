@@ -426,3 +426,14 @@ def test_ngram_jaccard_pairs_oracle(ray_session, con):
     from pd3f_ray.pipelines.dedup import ngram_jaccard_pairs, ngram_jaccard_sql
 
     _match(ngram_jaccard_pairs(SF), ngram_jaccard_sql(), con)
+
+
+def test_token_count_regex_oracle(ray_session, con):
+    """BPE-pre-tokenizer regex counts must match DuckDB's RE2 engine
+    match-for-match (ASCII-restricted pattern keeps engines agreeing)."""
+    from pd3f_ray.pipelines.textstats import (
+        TOKEN_COUNT_REGEX_SQL,
+        token_count_regex,
+    )
+
+    _match(token_count_regex(SF), TOKEN_COUNT_REGEX_SQL, con)
