@@ -124,3 +124,60 @@ d AS (
 SELECT doc_id, lang, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM d WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup curation: drop non-canonical cluster members
+# ---------------------------------------------------------------------------
+
+
+def curate_neardup(sf_dir: str):
+    """Documents minus non-canonical near-duplicates: the
+    connected-component labels from ``dedup_clusters`` mark each doc's
+    cluster minimum; every doc whose cluster_id differs from its own id
+    is a redundant near-dup and is removed by a bucketed ANTI join —
+    text never travels, the anti-join right side is the (small) dup-id
+    set as a Dataset, nothing lands on the driver. Output
+    (doc_id, lang, n_chars); oracle = recursive reachability + anti
+    join in SQL."""
+    import pyarrow.compute as pc
+
+    from pd3f_ray.pipelines.dedup import dedup_clusters
+    from pd3f_ray.pipelines.joins import anti_join
+
+    labels = dedup_clusters(sf_dir)
+
+    def dupes_only(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("doc_id"),
+                            batch.column("cluster_id"))
+        return pa.table({"dup_id": batch.filter(mask).column("doc_id")})
+
+    dupes = labels.map_batches(dupes_only, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    return anti_join(docs, dupes, "doc_id", "dup_id")
+
+
+CURATE_NEARDUP_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT least(a.doc_id, b.doc_id) AS id_a,
+         greatest(a.doc_id, b.doc_id) AS id_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 2
+  WHERE jaccard(a.text, b.text) > 0.99
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk(n, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.n
+),
+clusters AS (SELECT n AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY n)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+"""

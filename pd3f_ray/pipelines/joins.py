@@ -132,6 +132,56 @@ def hash_join(
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def anti_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    num_buckets: int = JOIN_BUCKETS,
+) -> "rd.Dataset":
+    """LEFT ANTI join on int64 keys: left rows whose key does NOT
+    appear on the right, via the same one-shuffle bucketed
+    co-partitioning as ``hash_join`` (the right side only needs its key
+    column — pass it pre-projected). Output = the left schema."""
+
+    def tag(side: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).to_numpy(zero_copy_only=False)
+            b = pa.array(_stable_bucket(keys, num_buckets), pa.int32())
+            return batch.append_column("__bucket", b).append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string())
+            )
+        return fn
+
+    def _dtypes(schema):
+        return {
+            name: (t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t)
+            for name, t in zip(schema.names, schema.types)
+        }
+
+    left_dt = _dtypes(left.schema().base_schema)
+    left_cols = list(left_dt)
+
+    tagged = left.map_batches(tag("l", left_key), batch_format="pyarrow").union(
+        right.map_batches(tag("r", right_key), batch_format="pyarrow")
+    )
+
+    def keep_unmatched(group: pd.DataFrame) -> pd.DataFrame:
+        l = (group.loc[group["__side"] == "l"]
+             .reindex(columns=left_cols).astype(left_dt))
+        if len(l) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in left_dt.items()})
+        r = group.loc[group["__side"] == "r"]
+        if right_key in r.columns and len(r):
+            rk = set(r[right_key].dropna().astype("int64"))
+            l = l[~l[left_key].isin(rk)]
+        return l
+
+    return tagged.groupby("__bucket").map_groups(keep_unmatched,
+                                                 batch_format="pandas")
+
+
 def nation_revenue(sf_dir: str, num_buckets: int = JOIN_BUCKETS):
     """Revenue by customer nation:
     lineitem ⋈ orders (bucketed hash join on orderkey, revenue

@@ -437,3 +437,22 @@ def test_token_count_regex_oracle(ray_session, con):
     )
 
     _match(token_count_regex(SF), TOKEN_COUNT_REGEX_SQL, con)
+
+
+def test_anti_join_basic(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pd3f_ray.pipelines.joins import anti_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table({"rk": [2, 4, 9]}))
+    out = anti_join(left, right, "k", "rk").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 3]
+    assert out["v"].tolist() == ["a", "c"]
+
+
+def test_curate_neardup_oracle(ray_session, con):
+    from pd3f_ray.pipelines.curation import CURATE_NEARDUP_SQL, curate_neardup
+
+    _match(curate_neardup(SF), CURATE_NEARDUP_SQL, con)
