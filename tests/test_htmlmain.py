@@ -65,3 +65,49 @@ def test_html_roundtrip_oracle(ray_session):
             .sort_values("url").reset_index(drop=True))
     assert (got["text"] == want["text"]).all()
     assert len(got) == 500
+
+
+def test_malformed_html_never_raises():
+    """Garbage / truncated / misnested HTML must degrade, not raise —
+    the stage's dead-letter-free contract (html.parser is tolerant and
+    the block classifier only sees text runs)."""
+    from pd3f_ray.stages.htmlmain import html_blocks, main_text
+
+    cases = [
+        "",
+        "no tags at all just text that is comfortably long enough to keep",
+        "<p>unclosed paragraph with enough characters to pass the filter",
+        "<div><p>misnested </div> tails</p><footer>loose</p>",
+        "<a href='x'>only a link</a>",
+        "\x00binary\xff-ish<js>junk</p>",
+        "<p>" + "x" * 100000 + "</p>",  # giant block
+    ]
+    for h in cases:
+        blocks = html_blocks(h)
+        assert isinstance(blocks, list)
+        assert isinstance(main_text(h), str)
+    # the unclosed-paragraph case still keeps its text
+    assert "unclosed paragraph" in main_text(cases[2])
+
+
+def test_extractor_stage_handles_bytes_and_garbage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pd3f_ray.stages.htmlmain import HtmlMainExtractor
+
+    rows = pa.table({
+        "url": pa.array(["u1", "u2", "u3"], pa.string()),
+        "html": pa.array(
+            [b"<p>good long paragraph body text kept as main content</p>",
+             b"\xff\xfe broken utf8 \x00<p>still fine and long enough to keep</p>",
+             b""],
+            pa.binary()),
+    })
+    out = (rd.from_arrow(rows)
+           .map_batches(HtmlMainExtractor, batch_format="pyarrow",
+                        concurrency=1, batch_size=8)
+           .to_pandas().sort_values("url"))
+    assert len(out) == 3
+    assert "good long paragraph" in out.iloc[0]["text"]
+    assert out.iloc[2]["text"] == ""
