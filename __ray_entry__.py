@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": relational.segment_order_stats,
         "events_hourly": relational.events_hourly,
         "event_value_quantiles": relational.event_value_quantiles,
+        "customer_order_counts": relational.customer_order_counts,
         # joins (broadcast + bucketed hash join)
         "nation_revenue": joins.nation_revenue,
         "supplier_part_join": joins.supplier_part_join,
@@ -242,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
+        "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,

@@ -132,6 +132,58 @@ def hash_join(
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def left_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    num_buckets: int = JOIN_BUCKETS,
+) -> "rd.Dataset":
+    """LEFT OUTER join on int64 keys via the same bucketed
+    co-partitioning as ``hash_join``. Unmatched right-side integer
+    columns come back as NULLABLE ints (pandas ``Int64`` → Arrow
+    nullable int64), so the block schema stays identical whether or not
+    a group had matches."""
+
+    def tag(side: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).to_numpy(zero_copy_only=False)
+            b = pa.array(_stable_bucket(keys, num_buckets), pa.int32())
+            return batch.append_column("__bucket", b).append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string())
+            )
+        return fn
+
+    def _dtypes(schema):
+        return {
+            name: (t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t)
+            for name, t in zip(schema.names, schema.types)
+        }
+
+    left_dt = _dtypes(left.schema().base_schema)
+    right_dt = _dtypes(right.schema().base_schema)
+    left_cols, right_cols = list(left_dt), list(right_dt)
+    # right non-key columns become nullable on unmatched rows
+    right_nullable = {
+        c: ("Int64" if pd.api.types.is_integer_dtype(d) else d)
+        for c, d in right_dt.items()
+    }
+
+    tagged = left.map_batches(tag("l", left_key), batch_format="pyarrow").union(
+        right.map_batches(tag("r", right_key), batch_format="pyarrow")
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = (group.loc[group["__side"] == "l"]
+             .reindex(columns=left_cols).astype(left_dt))
+        r = (group.loc[group["__side"] == "r"]
+             .reindex(columns=right_cols).astype(right_dt))
+        out = l.merge(r, how="left", left_on=left_key, right_on=right_key)
+        return out.astype(right_nullable, errors="ignore")
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
 def anti_join(
     left: "rd.Dataset",
     right: "rd.Dataset",

@@ -323,3 +323,52 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# customer order-count distribution (TPC-H Q13 shape: left outer join +
+# double aggregate — customers with ZERO orders must appear)
+# ---------------------------------------------------------------------------
+
+
+def customer_order_counts(sf_dir: str):
+    """(n_orders, n_customers): how many customers placed exactly N
+    orders, including N = 0 — the rows only a LEFT OUTER join keeps.
+    Plan: per-customer order counts (hash aggregate), LEFT join the
+    customer table onto them (bucketed co-partitioning), fill the
+    unmatched side with 0, then the tiny distribution groupby."""
+    from ray.data.aggregate import Count
+
+    from pd3f_ray.pipelines.joins import left_join
+
+    per_cust = (
+        rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(lambda b: b, batch_format="pyarrow")  # arrow blocks
+    )
+    cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+    joined = left_join(cust, per_cust, "c_custkey", "o_custkey")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(batch.column("n_orders"), pa.int64()), 0)
+        return pa.table({"n_orders": n})
+
+    return (
+        joined.map_batches(fill, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+"""

