@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quality": textstats.lang_quality,
         "lang_id": textstats.lang_id,
         "sample_docs": textstats.sample_docs,
+        "stratified_sample": textstats.stratified_sample,
         "top_tokens": textstats.top_tokens,
         # embedding generation (actor-pool inference shape; rows-only)
         "embed_docs": embed.embed_docs_flat,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": textstats.LANG_QUALITY_SQL,
         "lang_id": textstats.LANG_ID_SQL,
         "sample_docs": textstats.SAMPLE_DOCS_SQL,
+        "stratified_sample": textstats.stratified_sample_sql(),
         "top_tokens": textstats.top_tokens_sql(),
         "knn_bruteforce": similarity.knn_sql(),
         "distinct_users": sketches.DISTINCT_USERS_SQL,

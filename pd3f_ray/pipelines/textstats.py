@@ -325,3 +325,52 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))   AS n_tokens_re
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# stratified (per-language) sampling — corpus rebalancing
+# ---------------------------------------------------------------------------
+
+# keep-rate per language in 16ths of the md5 hash space: dominant
+# languages downsampled, tail languages kept whole — the standard
+# rebalancing move before training-data mixing
+STRATA_HEX = {
+    "en": tuple("0123"),            # 25%
+    "de": tuple("01234567"),        # 50%
+}
+STRATA_DEFAULT_HEX = tuple("0123456789abcdef")  # 100% for tail languages
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic per-language hash sample: each language keeps the
+    fraction of documents whose md5(text) first hex digit falls in its
+    stratum — reproducible across engines and runs, no shuffle, no
+    driver state. Output (doc_id, lang, n_chars)."""
+    from pd3f_ray.functions.textfns import md5_hex
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = [
+            md5_hex(t)[0] in STRATA_HEX.get(lg, STRATA_DEFAULT_HEX)
+            for t, lg in zip(texts, langs)
+        ]
+        f = batch.filter(pa.array(keep, pa.bool_()))
+        return f.select(["doc_id", "lang", "n_chars"])
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN substring(md5(text), 1, 1) IN {hexes!r}"
+        for lang, hexes in STRATA_HEX.items()
+    )
+    return f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CASE lang {cases}
+      ELSE TRUE END
+"""

@@ -469,3 +469,12 @@ def test_customer_order_counts_oracle(ray_session, con):
     got = customer_order_counts(SF).to_pandas()
     _match(customer_order_counts(SF), CUSTOMER_ORDER_COUNTS_SQL, con)
     assert (got["n_orders"] == 0).any() or True  # distribution may lack 0s at tiny sf
+
+
+def test_stratified_sample_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import (
+        stratified_sample,
+        stratified_sample_sql,
+    )
+
+    _match(stratified_sample(SF), stratified_sample_sql(), con)
