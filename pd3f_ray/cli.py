@@ -10,6 +10,11 @@ Commands:
                    markdown render, --shards/--buckets for layout)
   synth OUT        write a deterministic synthetic corpus (--docs N,
                    --pages for the exploded page-table variant)
+  query NAME SF    run any registered pipeline (the ``queries()``
+                   registry: dedup/similarity/textstats/joins/windows/
+                   sketches/curation/...) over an sf-dir of parquet
+                   tables; ``--out DIR`` writes parquet, else prints
+                   the row count. ``query list`` prints the registry.
 """
 
 from __future__ import annotations
@@ -68,6 +73,49 @@ def cmd_synth(args) -> dict:
             "kind": "docs"}
 
 
+def _registry():
+    """The queries() registry without importing the driver-contract
+    module by path tricks: rebuilt from the pipeline modules."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_pd3f_ray_entry", os.path.join(root, "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.queries()
+
+
+def cmd_query(args) -> dict:
+    reg = _registry()
+    if args.name == "list":
+        return {"queries": sorted(reg)}
+    if args.name not in reg:
+        raise SystemExit(f"unknown query {args.name!r}; try 'query list'")
+    _init_ray(args.cpus)
+    ds = reg[args.name](args.sf_dir)
+    if args.out:
+        if hasattr(ds, "write_parquet"):
+            ds.write_parquet(args.out)
+            import pyarrow.dataset as pads
+
+            n = pads.dataset(args.out, format="parquet").count_rows()
+        else:  # pandas result
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(args.out, exist_ok=True)
+            t = pa.Table.from_pandas(ds, preserve_index=False)
+            pq.write_table(t, os.path.join(args.out, "result.parquet"))
+            n = t.num_rows
+        return {"query": args.name, "rows": n, "out": args.out}
+    n = ds.count() if hasattr(ds, "count") else len(ds)
+    return {"query": args.name, "rows": int(n)}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pd3f_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -90,6 +138,13 @@ def main(argv=None) -> int:
     s.add_argument("--seed", type=int, default=42)
     s.add_argument("--pages", action="store_true")
     s.set_defaults(fn=cmd_synth)
+
+    q = sub.add_parser("query", help="run a registered pipeline")
+    q.add_argument("name")
+    q.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    q.add_argument("--out", default=None)
+    q.add_argument("--cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     result = args.fn(args)

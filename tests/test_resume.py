@@ -112,3 +112,26 @@ def test_resume_reprocesses_stale_lineage(ray_session, small_corpus_dir,
     assert stats2["shards_stale"] == 1
     assert stats2["shards_done"] == 1      # shard 0 redone
     assert stats2["shards_skipped"] == 1   # shard 1 untouched
+
+
+def test_cli_query_subcommand(tmp_path):
+    """Every registered pipeline is runnable as a job via the CLI."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pd3f_ray.cli", "query", "list"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    ).stdout.strip().splitlines()[-1]
+    names = json.loads(out)["queries"]
+    assert "curate_docs" in names and "extract_roundtrip" in names
+
+    d = str(tmp_path / "q")
+    out = subprocess.run(
+        [sys.executable, "-m", "pd3f_ray.cli", "query", "dedup_exact",
+         "/root/testdata/sf0.001", "--out", d, "--cpus", "4"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    ).stdout.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["rows"] == 500 and rec["out"] == d
