@@ -188,3 +188,84 @@ def test_hash_join_matches_pandas(ray_session, left_rows, right_rows):
     got = got[["lk", "lv", "rk", "rv"]].astype("int64")
     got = got.sort_values(list(got.columns)).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# round-2 distributed-plan invariants (pure logic, no Ray)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=5000), min_size=2,
+                max_size=60))
+def test_length_banding_covers_every_window_pair(chars):
+    """The (band, ghost) replication scheme must place BOTH endpoints of
+    every |ci - cj| <= CHAR_BAND pair in the band of the smaller one —
+    the invariant jaccard_pairs/ngram_jaccard_pairs correctness rests
+    on — and each qualifying pair must be anchored exactly once."""
+    from pd3f_ray.pipelines.dedup import CHAR_BAND, LENGTH_BAND_W
+
+    # simulate _band_rows: (band, native) memberships per doc index
+    membership = {}
+    for i, c in enumerate(chars):
+        band = c // LENGTH_BAND_W
+        membership.setdefault(i, []).append((band, True))
+        if c % LENGTH_BAND_W < CHAR_BAND and band > 0:
+            membership[i].append((band - 1, False))
+
+    for i, ci in enumerate(chars):
+        for j, cj in enumerate(chars):
+            if i >= j:
+                continue
+            lo, hi = (i, j) if ci <= cj else (j, i)
+            if abs(ci - cj) > CHAR_BAND:
+                continue
+            anchor_band = chars[lo] // LENGTH_BAND_W
+            # the anchor is native in its own band
+            assert (anchor_band, True) in membership[lo]
+            # the partner is present in the anchor's band
+            assert any(b == anchor_band for b, _ in membership[hi]), (
+                chars[lo], chars[hi])
+            # anchored exactly once: the pair is only emitted from bands
+            # where the SMALLER doc is native — that is one band
+            anchors = [b for b, nat in membership[lo] if nat]
+            assert anchors == [anchor_band]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=2000, unique=True))
+def test_hll_registers_merge_equals_union(ids):
+    """Merging per-partition HLL registers by elementwise max must equal
+    the registers of the union — the property that makes the sketch
+    exchange-safe — and the estimate must be within 3 sigma."""
+    import numpy as np
+
+    from pd3f_ray.pipelines.sketches import (
+        HLL_P,
+        _hll_estimate,
+        _hll_registers,
+    )
+
+    arr = np.array(ids, dtype=np.int64)
+    half = len(arr) // 2
+    merged = np.maximum(_hll_registers(arr[:half]),
+                        _hll_registers(arr[half:]))
+    assert np.array_equal(merged, _hll_registers(arr))
+    est = _hll_estimate(merged)
+    sigma = 1.04 / (2 ** (HLL_P / 2)) * len(arr)
+    assert abs(est - len(arr)) <= max(3, 3 * sigma), (est, len(arr))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62), min_size=1,
+                max_size=500))
+def test_stable_bucket_in_range_and_deterministic(keys):
+    import numpy as np
+
+    from pd3f_ray.pipelines.joins import _stable_bucket
+
+    a = _stable_bucket(np.array(keys, dtype=np.int64), 128)
+    b = _stable_bucket(np.array(keys, dtype=np.int64), 128)
+    assert np.array_equal(a, b)
+    assert ((a >= 0) & (a < 128)).all()
