@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_pairs": dedup.minhash_pairs,      # approximate → rows-only
         "simhash_docs": dedup.simhash_docs,        # bit sketch → rows-only
+        "simhash_pairs": dedup.simhash_pairs,      # pigeonhole-exact, rows-only
         "embdup_cosine": dedup.embdup_cosine,
         "embdup_lsh": dedup.embdup_lsh,            # approximate → rows-only
         "dedup_clusters": dedup.dedup_clusters,

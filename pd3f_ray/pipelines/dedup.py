@@ -769,3 +769,75 @@ def simhash_docs(sf_dir: str, bits: int = 64):
         )
 
     return ds.map_batches(sim, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs (Hamming-band bucketing)
+# ---------------------------------------------------------------------------
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # 4 × 16-bit bands: pigeonhole ⇒ exact for distance ≤ 3
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """Document pairs whose 64-bit SimHash fingerprints are within
+    ``max_hamming`` bits — the bit-sketch near-dup finder (Manku,
+    Jain & Das Sarma, WWW 2007, public method). Each fingerprint is
+    split into SIMHASH_BANDS 16-bit bands; by pigeonhole, any pair
+    within distance SIMHASH_BANDS-1 agrees exactly on ≥1 band, so one
+    groupby on (band, band_value) finds EVERY qualifying pair (recall
+    1.0, no probabilistic slack); an in-bucket vectorized XOR-popcount
+    verifies the distance, and a final tiny pair groupby dedups
+    multi-band collisions. Rows-only (the token-hash fingerprints are
+    not SQL-expressible); exactness vs brute force pinned in tests."""
+    fps = simhash_docs(sf_dir)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        fp = batch.column("simhash").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        parts = []
+        for b in range(SIMHASH_BANDS):
+            key = ((fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)) \
+                .astype(np.int64)
+            band_key = (b << 16) | key
+            # coarse shuffle key: one map_groups group per ~many exact
+            # band keys (per-group dispatch is ~0.5 ms); the exact-key
+            # split happens vectorized inside the group
+            parts.append(pa.table({
+                "gkey": pa.array(band_key % 256, pa.int32()),
+                "band_key": pa.array(band_key, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": batch.column("simhash"),
+            }))
+        return pa.concat_tables(parts)
+
+    def group_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from pd3f_ray.functions.textfns import popcount64
+
+        out_a, out_b, out_h = [], [], []
+        for _, sub in group.groupby("band_key", sort=False):
+            ids = sub["doc_id"].to_numpy().astype(np.int64)
+            fp = sub["simhash"].to_numpy().astype(np.uint64)
+            _, first = np.unique(ids, return_index=True)
+            ids, fp = ids[first], fp[first]
+            if len(ids) < 2:
+                continue
+            x = (fp[:, None] ^ fp[None, :]).reshape(-1, 1)
+            ham = popcount64(x).sum(axis=1).reshape(len(ids), len(ids))
+            ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            out_a.extend(np.minimum(ids[ii], ids[jj]).tolist())
+            out_b.extend(np.maximum(ids[ii], ids[jj]).tolist())
+            out_h.extend(ham[ii, jj].astype(np.int64).tolist())
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "hamming": pd.Series(out_h, dtype="int64")})
+
+    found = (
+        fps.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+    return found.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

@@ -478,3 +478,29 @@ def test_stratified_sample_oracle(ray_session, con):
     )
 
     _match(stratified_sample(SF), stratified_sample_sql(), con)
+
+
+def test_simhash_pairs_exact_vs_bruteforce(ray_session):
+    """Hamming-band bucketing is pigeonhole-EXACT for distance <= 3:
+    the pair set must equal the all-pairs brute force, with matching
+    distances."""
+    import numpy as np
+
+    from pd3f_ray.pipelines.dedup import simhash_docs, simhash_pairs
+
+    fps = simhash_docs(SF).to_pandas()
+    ids = fps["doc_id"].to_numpy()
+    fp = fps["simhash"].to_numpy().astype(np.uint64)
+    x = fp[:, None] ^ fp[None, :]
+    ham = np.zeros_like(x, dtype=np.int64)
+    for s in range(64):
+        ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+    ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+    truth = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))):
+             int(ham[i, j]) for i, j in zip(ii, jj)}
+
+    got = simhash_pairs(SF).to_pandas()
+    found = {(int(a), int(b)): int(h)
+             for a, b, h in zip(got["id_a"], got["id_b"], got["hamming"])}
+    assert found == truth
+    assert len(truth) > 0  # the corpus must actually exercise it
