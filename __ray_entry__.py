@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "curate_docs": curation.curate_docs,
         "curate_neardup": curation.curate_neardup,
+        "decontaminate_docs": curation.decontaminate_docs,
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
         "jaccard_pairs": dedup.jaccard_pairs,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": windows.EVENTS_SLIDING_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
         "curate_neardup": curation.CURATE_NEARDUP_SQL,
+        "decontaminate_docs": curation.DECONTAMINATE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),

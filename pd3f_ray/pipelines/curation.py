@@ -181,3 +181,76 @@ FROM documents d
 LEFT JOIN clusters c ON d.doc_id = c.doc_id
 WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# decontamination: benchmark n-gram overlap removal
+# ---------------------------------------------------------------------------
+
+DECON_W = 4          # tokens per shingle
+DECON_BENCH_MAX = 5  # "benchmark" = docs with doc_id < 5
+
+
+def decontaminate_docs(sf_dir: str):
+    """Remove every document sharing a DECON_W-token shingle with the
+    benchmark set (here: doc_id < DECON_BENCH_MAX stands in for a
+    held-out eval set) — the standard train/test decontamination pass.
+    The benchmark shingle set is built from a predicate-pushdown read of
+    just those rows and broadcast once (``ray.put``); the corpus pass is
+    a stateless map-side filter — no shuffle, no driver materialization
+    of anything corpus-sized. Benchmark docs remove themselves (they
+    trivially contain their own shingles), matching the SQL oracle.
+    Output (doc_id, lang, n_chars) of the kept documents."""
+    import pyarrow.dataset as pads
+    import ray
+
+    bench = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["text"],
+        filter=pads.field("doc_id") < DECON_BENCH_MAX,
+    )
+
+    def shingles(text: str) -> set:
+        toks = text.split(" ")
+        return {" ".join(toks[i:i + DECON_W])
+                for i in range(len(toks) - DECON_W + 1)}
+
+    grams: set = set()
+    for t in bench.column("text").to_pylist():
+        grams |= shingles(t)
+    gram_ref = ray.put(grams)
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        gs = ray.get(gram_ref)
+        texts = batch.column("text").to_pylist()
+        keep = [not (shingles(t) & gs) for t in texts]
+        f = batch.filter(pa.array(keep, pa.bool_()))
+        return f.select(["doc_id", "lang", "n_chars"])
+
+    return _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"]).map_batches(
+        keep_clean, batch_format="pyarrow"
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+sh AS (
+  SELECT t.doc_id, array_to_string(t.ts[i.i : i.i + {DECON_W - 1}], ' ') AS g
+  FROM toks t,
+       (SELECT doc_id AS d2, unnest(generate_series(1, len(ts) - {DECON_W - 1}))
+            AS i
+        FROM toks) i
+  WHERE t.doc_id = i.d2
+),
+bench_grams AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id < {DECON_BENCH_MAX}
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench_grams b ON s.g = b.g
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""

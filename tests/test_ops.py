@@ -504,3 +504,15 @@ def test_simhash_pairs_exact_vs_bruteforce(ray_session):
              for a, b, h in zip(got["id_a"], got["id_b"], got["hamming"])}
     assert found == truth
     assert len(truth) > 0  # the corpus must actually exercise it
+
+
+def test_decontaminate_docs_oracle(ray_session, con):
+    from pd3f_ray.pipelines.curation import (
+        DECONTAMINATE_SQL,
+        decontaminate_docs,
+    )
+
+    got = decontaminate_docs(SF).to_pandas()
+    _match(decontaminate_docs(SF), DECONTAMINATE_SQL, con)
+    # benchmark docs remove themselves
+    assert not set(range(5)) & set(got["doc_id"])
