@@ -154,7 +154,7 @@ def curate_neardup(sf_dir: str):
 
     dupes = labels.map_batches(dupes_only, batch_format="pyarrow")
     docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
-    return anti_join(docs, dupes, "doc_id", "dup_id")
+    return anti_join(docs, dupes, "doc_id", "dup_id", num_buckets=32)
 
 
 CURATE_NEARDUP_SQL = """

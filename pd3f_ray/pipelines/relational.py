@@ -348,7 +348,8 @@ def customer_order_counts(sf_dir: str):
         .map_batches(lambda b: b, batch_format="pyarrow")  # arrow blocks
     )
     cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
-    joined = left_join(cust, per_cust, "c_custkey", "o_custkey")
+    joined = left_join(cust, per_cust, "c_custkey", "o_custkey",
+                       num_buckets=32)
 
     def fill(batch: pa.Table) -> pa.Table:
         n = pc.fill_null(pc.cast(batch.column("n_orders"), pa.int64()), 0)
