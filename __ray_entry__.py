@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": textstats.sample_docs,
         "stratified_sample": textstats.stratified_sample,
         "top_tokens": textstats.top_tokens,
+        "top_tokens_per_lang": textstats.top_tokens_per_lang,
         # embedding generation (actor-pool inference shape; rows-only)
         "embed_docs": embed.embed_docs_flat,
         # cardinality sketches
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": textstats.SAMPLE_DOCS_SQL,
         "stratified_sample": textstats.stratified_sample_sql(),
         "top_tokens": textstats.top_tokens_sql(),
+        "top_tokens_per_lang": textstats.top_tokens_per_lang_sql(),
         "knn_bruteforce": similarity.knn_sql(),
         "distinct_users": sketches.DISTINCT_USERS_SQL,
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,

@@ -374,3 +374,90 @@ FROM documents
 WHERE CASE lang {cases}
       ELSE TRUE END
 """
+
+
+# ---------------------------------------------------------------------------
+# group-wise top-k (heavy hitters per language)
+# ---------------------------------------------------------------------------
+
+TOP_PER_LANG_K = 5
+
+
+def top_tokens_per_lang(sf_dir: str, k: int = TOP_PER_LANG_K):
+    """The k most frequent tokens WITHIN each language — the group-wise
+    top-k pattern (vs ``top_tokens``' global sort-limit): per-batch
+    Counter pre-aggregation keyed (lang, token), one hash-aggregate
+    exchange on the pair, then a bucketed per-lang reduce that does a
+    vectorized nlargest inside each group — no global sort. Ties break
+    by token ascending, matching the SQL row_number ordering. Output
+    (lang, token, n, rank)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lg, t in zip(batch.column("lang").to_pylist(),
+                         batch.column("text").to_pylist()):
+            for tok in t.split(" "):
+                if tok:
+                    c[(lg, tok)] += 1
+        langs, toks, ns = [], [], []
+        for (lg, tok), n in c.items():
+            langs.append(lg)
+            toks.append(tok)
+            ns.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_lang_topk(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lg, sub in group.groupby("lang", sort=False):
+            g = sub.sort_values(["n", "token"],
+                                ascending=[False, True]).head(k)
+            g = g.assign(rank=pd.Series(range(1, len(g) + 1),
+                                        index=g.index, dtype="int64"))
+            out.append(g)
+        if not out:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64")})
+        return pd.concat(out)[["lang", "token", "n", "rank"]]
+
+    # languages are few: group directly by lang (bounded), reduce in-group
+    return totals.groupby("lang").map_groups(per_lang_topk,
+                                             batch_format="pandas")
+
+
+def top_tokens_per_lang_sql(k: int = TOP_PER_LANG_K) -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token != ''
+  GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT lang, token, n, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -516,3 +516,12 @@ def test_decontaminate_docs_oracle(ray_session, con):
     _match(decontaminate_docs(SF), DECONTAMINATE_SQL, con)
     # benchmark docs remove themselves
     assert not set(range(5)) & set(got["doc_id"])
+
+
+def test_top_tokens_per_lang_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import (
+        top_tokens_per_lang,
+        top_tokens_per_lang_sql,
+    )
+
+    _match(top_tokens_per_lang(SF), top_tokens_per_lang_sql(), con)
