@@ -310,6 +310,7 @@ VERIFY_THRESHOLD = 0.5
 
 
 MINHASH_BUCKETS = 1024
+PRE_DEDUP_PAIRS = False  # see minhash_pairs: skip the pair-dedup exchange
 
 
 def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
@@ -387,11 +388,16 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # a pair can collide in multiple bands → dedup to unique pairs
-    # BEFORE fetching texts (the exchange moves ids only)
-    pairs = candidates.groupby(["id_a", "id_b"]).aggregate(
-        Count(alias_name="n_bands")
-    )
+    # a pair can collide in multiple bands; the verify groups dedup
+    # exactly (drop_duplicates), so candidates go STRAIGHT to the text
+    # join — skipping a whole all-to-all dedup exchange. The join ships
+    # at most NUM_BANDS copies of a pair's endpoints (typically 2-3);
+    # at corpus scale flip PRE_DEDUP_PAIRS if band collisions dominate.
+    pairs = candidates
+    if PRE_DEDUP_PAIRS:
+        pairs = candidates.groupby(["id_a", "id_b"]).aggregate(
+            Count(alias_name="n_bands")
+        )
 
     # explode each pair to its two endpoints, then bucketed hash-join
     # the endpoints back to documents for the text — the inner join
