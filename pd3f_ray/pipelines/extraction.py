@@ -218,12 +218,42 @@ def _add_url_bucket(num_buckets: int):
     return add
 
 
+def _make_path_probe_threadsafe() -> None:
+    """Ray 2.49's ``_is_http_filesystem`` does a lazy
+    ``from fsspec.implementations.http import HTTPFileSystem`` guarded
+    only by ``except ModuleNotFoundError``. When aiohttp is absent AND
+    two Dataset executions resolve paths concurrently, the losing
+    thread sees the half-imported module as a plain ``ImportError``
+    ("cannot import name HTTPFileSystem") and the job dies. Wrap the
+    probe with a lock + ImportError tolerance once per process —
+    semantics unchanged (no aiohttp ⇒ not an HTTP filesystem)."""
+    import threading
+
+    import ray.data.datasource.path_util as _pu
+
+    if getattr(_pu, "_pd3f_ray_threadsafe_probe", False):
+        return
+    orig = _pu._is_http_filesystem
+    lock = threading.Lock()
+
+    def safe(fs):
+        with lock:
+            try:
+                return orig(fs)
+            except ImportError:
+                return False
+
+    _pu._is_http_filesystem = safe
+    _pu._pd3f_ray_threadsafe_probe = True
+
+
 def run_resumable(
     input_path: str,
     out_dir: str,
     opts: ExtractOptions | None = None,
     num_shards: int = 8,
     num_buckets: int = 16,
+    max_parallel_shards: int = 1,
     **kw,
 ) -> dict:
     """Sharded, resumable extraction run.
@@ -232,10 +262,15 @@ def run_resumable(
     shard is extracted as its own streaming Dataset execution and
     committed atomically (temp dir → rename → manifest append). A rerun
     skips shards already in the manifest, so a killed job loses at most
-    one shard of work. Output inside each shard is hash-partitioned by
-    url bucket (``bucket=NN/`` dirs, north_rule's "partitions by url
-    hash") — map-side column + partitioned write, no shuffle. Returns
-    summary metrics.
+    ``max_parallel_shards`` shards of work. Output inside each shard is
+    hash-partitioned by url bucket (``bucket=NN/`` dirs, north_rule's
+    "partitions by url hash") — map-side column + partitioned write, no
+    shuffle. ``max_parallel_shards > 1`` runs that many shard Datasets
+    concurrently (each execution is independent; Ray Data schedules
+    them against the same cluster), amortizing the per-execution
+    startup that dominates small shards — the failure-loss bound grows
+    to the in-flight window. Manifest appends are serialized under a
+    lock. Returns summary metrics.
     """
     import pyarrow.dataset as pads
 
@@ -248,6 +283,7 @@ def run_resumable(
 
     total = {"shards_done": 0, "shards_skipped": 0, "shards_stale": 0,
              "rows": 0, "errors": 0}
+    todo: list[tuple[int, list[str]]] = []
     for shard_id, shard_files in enumerate(shards):
         if shard_id in done:
             # lineage check: a shard is only skippable if its recorded
@@ -260,6 +296,23 @@ def run_resumable(
                 total["errors"] += done[shard_id].get("errors", 0)
                 continue
             total["shards_stale"] += 1  # fall through: reprocess
+        todo.append((shard_id, shard_files))
+
+    import threading
+
+    manifest_lock = threading.Lock()
+
+    # when shards run concurrently, each shard's actor pool must claim
+    # only its slice of the cluster — three full-size fixed pools in one
+    # small session deadlock waiting for actors that can never schedule
+    if max_parallel_shards > 1 and "concurrency" not in kw:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        kw = dict(kw, concurrency=max(1, cpus // max_parallel_shards))
+
+    def run_shard(shard_id: int, shard_files: list[str]) -> dict:
         tmp = mf.shard_dir(out_dir, shard_id) + ".__tmp"
         if os.path.exists(tmp):
             import shutil
@@ -276,9 +329,21 @@ def run_resumable(
         written = pads.dataset(tmp, format="parquet")
         rows = written.count_rows()
         errors = written.count_rows(filter=~pads.field("error").is_null())
-        rec = mf.commit_shard(
-            out_dir, shard_id, tmp, shard_files, {"rows": rows, "errors": errors}
-        )
+        with manifest_lock:
+            return mf.commit_shard(
+                out_dir, shard_id, tmp, shard_files,
+                {"rows": rows, "errors": errors},
+            )
+
+    if max_parallel_shards <= 1:
+        recs = [run_shard(sid, sf) for sid, sf in todo]
+    else:
+        _make_path_probe_threadsafe()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_parallel_shards) as pool:
+            recs = list(pool.map(lambda t: run_shard(*t), todo))
+    for rec in recs:
         total["shards_done"] += 1
         total["rows"] += rec["rows"]
         total["errors"] += rec["errors"]
