@@ -5,18 +5,20 @@ two join strategies a 100 TB pipeline needs, both oracle-checked:
 
 - **broadcast join** (small side ⋈ big side): the small table is
   ``ray.put`` once and probed as a dict inside ``map_batches`` — zero
-  shuffle, the pattern used for dimension tables (nation, customer).
+  shuffle, the pattern reserved for GENUINELY small dimension tables
+  (nation: 25 rows). Customer is a fact table at 100 TB-scale TPC-H
+  and goes through the bucketed join instead.
 - **bucketed hash join** (big ⋈ big): both sides are tagged, given a
   stable ``hash(key) % B`` bucket column, unioned, and co-partitioned by
   ONE ``groupby(bucket)`` exchange; inside each group a vectorized
   pandas merge joins the sides. B bounds per-group memory; skewed keys
   spread over B only if salted — the knob is exposed.
 
-``nation_revenue`` composes both: lineitem ⋈ orders via the bucketed
-hash join (the two big tables), then orders→customer→nation via a
-broadcast composite lookup, with revenue pre-aggregated inside the join
-groups BEFORE the final tiny groupby — the partial-aggregation pattern
-that keeps the wide exchange small.
+``nation_revenue`` composes them: lineitem ⋈ orders and then
+per-custkey partials ⋈ customer via TWO bucketed hash joins (all three
+are fact tables), nation names via the one true broadcast (25 rows),
+with revenue pre-aggregated before every exchange — the
+partial-aggregation pattern that keeps the wide exchanges small.
 """
 
 from __future__ import annotations
@@ -237,27 +239,21 @@ def anti_join(
 def nation_revenue(sf_dir: str, num_buckets: int = JOIN_BUCKETS):
     """Revenue by customer nation:
     lineitem ⋈ orders (bucketed hash join on orderkey, revenue
-    pre-aggregated per order inside the join groups) → broadcast
-    custkey→nation lookup → tiny groupby(n_name). Output
-    (n_name, revenue_cents)."""
-    # broadcast side: custkey → nation name (customer ⋈ nation on the
-    # driver — dimension-scale, 25 + O(SF·150k) rows)
+    pre-aggregated per order inside map_batches) → partial per-custkey
+    revenue → SECOND bucketed hash join against customer (at TPC-H
+    SF for 100 TB the customer table is terabytes — a fact table, NOT a
+    broadcastable side) → the only broadcast is the 25-row nation name
+    map → tiny groupby(n_name). Output (n_name, revenue_cents)."""
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"])
     nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                         columns=["n_nationkey", "n_name"])
     nkey_to_name = dict(zip(nat.column("n_nationkey").to_pylist(),
                             nat.column("n_name").to_pylist()))
-    cust_to_nation = {
-        c: nkey_to_name[n]
-        for c, n in zip(cust.column("c_custkey").to_pylist(),
-                        cust.column("c_nationkey").to_pylist())
-    }
-    lookup_ref = ray.put(cust_to_nation)
+    lookup_ref = ray.put(nkey_to_name)  # 25 rows — genuinely small
 
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     lineitem = _pq(sf_dir, "lineitem",
                    ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -280,21 +276,30 @@ def nation_revenue(sf_dir: str, num_buckets: int = JOIN_BUCKETS):
         })
 
     rev = lineitem.map_batches(pre_agg, batch_format="pyarrow")
-
     joined = hash_join(rev, orders, "l_orderkey", "o_orderkey",
                        num_buckets=num_buckets)
 
+    # partial per-custkey revenue inside each batch so join #2 moves one
+    # row per (block, custkey)
+    def per_cust(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_custkey", "revenue_cents"]).group_by(
+            ["o_custkey"]).aggregate([("revenue_cents", "sum")])
+        return g.rename_columns(["o_custkey", "revenue_cents"])
+
+    cust_rev = joined.map_batches(per_cust, batch_format="pyarrow")
+    j2 = hash_join(cust_rev, customer, "o_custkey", "c_custkey",
+                   num_buckets=num_buckets)
+
     def to_nation(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
-        custs = batch.column("o_custkey").to_pylist()
-        names = [lookup[c] for c in custs]
+        names = [lookup[n] for n in batch.column("c_nationkey").to_pylist()]
         return pa.table({
             "n_name": pa.array(names, pa.string()),
             "revenue_cents": batch.column("revenue_cents"),
         })
 
     return (
-        joined.map_batches(to_nation, batch_format="pyarrow")
+        j2.map_batches(to_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )

@@ -176,37 +176,38 @@ LIMIT 15
 
 
 def segment_order_stats(sf_dir: str):
-    """Join each order to its customer's market segment (customer is the
-    small side: broadcast once via ray.put, dict-lookup per batch — no
-    shuffle join), then aggregate per segment."""
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(_pq(sf_dir, "customer"),
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(
-        zip(cust.column("c_custkey").to_pylist(),
-            cust.column("c_mktsegment").to_pylist())
-    )
-    seg_ref = ray.put(seg_map)
+    """Per-segment order stats via a bucketed hash join of per-customer
+    order partials against the customer table. Customer is a FACT table
+    at 100 TB-scale TPC-H (terabytes), so it is co-partitioned through
+    the exchange, never broadcast; the map side pre-aggregates orders
+    per custkey so join volume is one row per (block, custkey)."""
+    from pd3f_ray.pipelines.joins import hash_join
 
     ds = rd.read_parquet(_pq(sf_dir, "orders"),
                          columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        segs = [seg.get(int(k), "UNKNOWN") for k in keys]
-        cents = _cents(batch.column("o_totalprice"))
         g = pa.table(
-            {"c_mktsegment": pa.array(segs, pa.string()), "cents": cents}
-        ).group_by(["c_mktsegment"]).aggregate(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        ).group_by(["o_custkey"]).aggregate(
             [("cents", "count"), ("cents", "sum")]
         )
-        return g.rename_columns(
-            ["c_mktsegment", "n_orders", "sum_total_cents"])
+        return g.rename_columns(["o_custkey", "n_orders", "sum_total_cents"])
+
+    per_cust = ds.map_batches(partial, batch_format="pyarrow")
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(per_cust, cust, "o_custkey", "c_custkey",
+                       num_buckets=64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["c_mktsegment", "n_orders", "sum_total_cents"])
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(project, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
