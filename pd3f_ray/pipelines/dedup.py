@@ -414,8 +414,15 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
         )
 
     endpoints = pairs.map_batches(explode, batch_format="pyarrow")
-    with_text = hash_join(endpoints, _docs(sf_dir, ["doc_id", "text"]),
-                          "join_id", "doc_id", num_buckets=64)
+    # explicit left schema: endpoints' lineage contains the candidate
+    # exchange — letting hash_join sample .schema() would run candidate
+    # generation twice (see hash_join docstring)
+    with_text = hash_join(
+        endpoints, _docs(sf_dir, ["doc_id", "text"]),
+        "join_id", "doc_id", num_buckets=64,
+        left_schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("join_id", pa.int64())]),
+    )
 
     # co-locate the two endpoints of each pair: bucket on id_a (pairs
     # sharing an anchor land together, which also warms the shingle

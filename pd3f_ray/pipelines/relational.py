@@ -175,13 +175,54 @@ LIMIT 15
 # ---------------------------------------------------------------------------
 
 
-def segment_order_stats(sf_dir: str):
-    """Per-segment order stats via a bucketed hash join of per-customer
-    order partials against the customer table. Customer is a FACT table
-    at 100 TB-scale TPC-H (terabytes), so it is co-partitioned through
-    the exchange, never broadcast; the map side pre-aggregates orders
-    per custkey so join volume is one row per (block, custkey)."""
-    from pd3f_ray.pipelines.joins import hash_join
+def segment_order_stats(sf_dir: str, broadcast: bool | None = None):
+    """Per-segment order stats. Customer is a FACT table at 100 TB-scale
+    TPC-H (terabytes), so the scale plan co-partitions per-customer
+    order partials against it through a bucketed hash join; when the
+    metadata row count says customer fits in memory
+    (≤ BROADCAST_MAX_ROWS — AQE-style planner rule), the broadcast-dict
+    fast path is chosen instead. Both paths oracle-exact."""
+    from pd3f_ray.pipelines.joins import (
+        BROADCAST_MAX_ROWS,
+        _rows_of,
+        hash_join,
+    )
+
+    if broadcast is None:
+        broadcast = _rows_of(sf_dir, "customer") <= BROADCAST_MAX_ROWS
+
+    if broadcast:
+        import pyarrow.parquet as pq
+
+        ctbl = pq.read_table(_pq(sf_dir, "customer"),
+                             columns=["c_custkey", "c_mktsegment"])
+        seg_map = dict(zip(ctbl.column("c_custkey").to_pylist(),
+                           ctbl.column("c_mktsegment").to_pylist()))
+        seg_ref = ray.put(seg_map)
+
+        def bpartial(batch: pa.Table) -> pa.Table:
+            seg = ray.get(seg_ref)
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            segs = [seg.get(int(k), "UNKNOWN") for k in keys]
+            g = pa.table(
+                {"c_mktsegment": pa.array(segs, pa.string()),
+                 "cents": _cents(batch.column("o_totalprice"))}
+            ).group_by(["c_mktsegment"]).aggregate(
+                [("cents", "count"), ("cents", "sum")]
+            )
+            return g.rename_columns(
+                ["c_mktsegment", "n_orders", "sum_total_cents"])
+
+        return (
+            rd.read_parquet(_pq(sf_dir, "orders"),
+                            columns=["o_custkey", "o_totalprice"])
+            .map_batches(bpartial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("sum_total_cents", alias_name="sum_total_cents"),
+            )
+        )
 
     ds = rd.read_parquet(_pq(sf_dir, "orders"),
                          columns=["o_custkey", "o_totalprice"])
@@ -349,8 +390,13 @@ def customer_order_counts(sf_dir: str):
         .map_batches(lambda b: b, batch_format="pyarrow")  # arrow blocks
     )
     cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
-    joined = left_join(cust, per_cust, "c_custkey", "o_custkey",
-                       num_buckets=32)
+    # explicit right schema: per_cust's lineage holds an aggregate
+    # exchange — sampling .schema() would execute it twice
+    joined = left_join(
+        cust, per_cust, "c_custkey", "o_custkey", num_buckets=32,
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_orders", pa.int64())]),
+    )
 
     def fill(batch: pa.Table) -> pa.Table:
         n = pc.fill_null(pc.cast(batch.column("n_orders"), pa.int64()), 0)

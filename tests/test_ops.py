@@ -525,3 +525,18 @@ def test_top_tokens_per_lang_oracle(ray_session, con):
     )
 
     _match(top_tokens_per_lang(SF), top_tokens_per_lang_sql(), con)
+
+
+def test_adaptive_join_paths_oracle(ray_session, con):
+    """Both the broadcast fast path and the co-partitioned shuffle path
+    of the customer joins must be oracle-exact (the AQE-style threshold
+    picks between them by metadata row count)."""
+    from pd3f_ray.pipelines.joins import NATION_REVENUE_SQL, nation_revenue
+    from pd3f_ray.pipelines.relational import (
+        SEGMENT_ORDER_SQL,
+        segment_order_stats,
+    )
+
+    _match(nation_revenue(SF, broadcast_customer=False), NATION_REVENUE_SQL,
+           con)
+    _match(segment_order_stats(SF, broadcast=False), SEGMENT_ORDER_SQL, con)
