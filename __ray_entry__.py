@@ -136,6 +136,12 @@ def _q_extract_roundtrip(sf_dir: str):
     return extract_roundtrip(sf_dir)
 
 
+def _q_pages_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import pages_roundtrip
+
+    return pages_roundtrip(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         curation,
@@ -166,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # identity-shape layout, run through the real ExtractDocs actor
         # pool; driver hash-compares extracted text byte-per-url
         "extract_roundtrip": _q_extract_roundtrip,
+        # oracle-CHECKED page-table path: two-page word-midpoint split
+        # pushed through the REAL bucketed sort-shuffle + fused reduce
+        # (extract_pages_fused); driver hash-compares text byte-per-url
+        "pages_roundtrip": _q_pages_roundtrip,
         # oracle-CHECKED html boilerplate strip: documents wrapped in a
         # full HTML page with injected nav/sidebar/footer; the
         # main-content stage must return the body text byte-identical
@@ -236,11 +246,15 @@ def oracle_sql() -> dict[str, str]:
         windows,
     )
 
-    from pd3f_ray.pipelines.extraction import EXTRACT_ROUNDTRIP_SQL
+    from pd3f_ray.pipelines.extraction import (
+        EXTRACT_ROUNDTRIP_SQL,
+        PAGES_ROUNDTRIP_SQL,
+    )
     from pd3f_ray.pipelines.webtext import HTML_ROUNDTRIP_SQL
 
     return {
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
+        "pages_roundtrip": PAGES_ROUNDTRIP_SQL,
         "html_roundtrip": HTML_ROUNDTRIP_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,

@@ -199,6 +199,112 @@ FROM documents
 """
 
 
+def pages_roundtrip(sf_dir: str):
+    """Oracle-checkable end-to-end exercise of the PAGE-TABLE path —
+    the engine's one real shuffle (``extract_pages_fused``,
+    stages/pages.py): every ``documents`` row is split at the word
+    midpoint into TWO pages, each holding one single-line paragraph in
+    the kernel-identity shape of ``extract_roundtrip`` (page 0 also
+    carries the punctuation-only dummy that feeds DocStats its line-gap
+    sample). Page rows are emitted in REVERSED page order so the
+    bucketed sort-shuffle's ``(url, page_idx)`` restore is load-bearing,
+    then pushed through the fused plan (compressed exchange + extraction
+    in the shuffle-reduce tasks) and projected to (url, text).
+
+    Why the oracle is exact: a single-line paragraph always takes join-
+    cascade rule 2 and sets ``ends_newline`` (kernel.py:522-541), which
+    makes ``_merge_page_breaks`` skip the page boundary (doc_output.py
+    semantics, kernel.py:701-710) — so the output is deterministically
+    ``part1 || '\\n\\n' || part2 || '\\n\\n'``, reproduced in SQL by the
+    same word-midpoint split. Docs with <2 words stay one page."""
+    import pyarrow as pa
+
+    from pd3f_ray.sources.synth import (
+        BODY_FONT,
+        FONTS,
+        LINE_GAP,
+        LINE_H,
+        MARGIN_L,
+        _IdGen,
+        _line,
+        _paragraph,
+    )
+    from pd3f_ray.stages.pages import _dumps, extract_pages_fused
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls, idxs, blobs, out_langs = [], [], [], []
+        for did, text, lang in zip(ids, texts, langs):
+            words = text.split(" ")
+            if len(words) < 2:
+                halves = [words]
+            else:
+                h = (len(words) + 1) // 2
+                halves = [words[:h], words[h:]]
+            gen = _IdGen()
+            fonts = [dict(f) for f in FONTS]
+            url = f"doc://{did}"
+            payloads = []
+            for pi, part in enumerate(halves):
+                line = _line(gen, part, BODY_FONT, 90.0, MARGIN_L)
+                elements = [_paragraph(gen, [line])]
+                if pi == 0:
+                    d1 = _line(gen, ["..."], BODY_FONT, 500.0, MARGIN_L)
+                    d2 = _line(gen, ["..."], BODY_FONT,
+                               500.0 + LINE_H + LINE_GAP, MARGIN_L)
+                    elements.append(_paragraph(gen, [d1, d2]))
+                payloads.append(
+                    _dumps({"page": {"elements": elements}, "fonts": fonts})
+                )
+            for pi in reversed(range(len(payloads))):
+                urls.append(url)
+                idxs.append(pi)
+                blobs.append(payloads[pi])
+                out_langs.append(lang)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+                "page_idx": pa.array(idxs, pa.int32()),
+                "page_json": pa.array(blobs, pa.binary()),
+                "lang": pa.array(out_langs, pa.string()),
+            }
+        )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    extracted = extract_pages_fused(
+        docs.map_batches(explode, batch_format="pyarrow")
+    )
+
+    def project(batch):
+        import pyarrow as _pa
+
+        return _pa.table({
+            "url": batch.column("url"),
+            "text": batch.column("text").cast(_pa.string()),
+        })
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+PAGES_ROUNDTRIP_SQL = """
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+), s AS (
+  SELECT doc_id, text, ws, len(ws) AS k, (len(ws) + 1) // 2 AS h FROM w
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN k < 2 THEN text || chr(10) || chr(10)
+            ELSE array_to_string(ws[1:h], ' ') || chr(10) || chr(10)
+                 || array_to_string(ws[h+1:k], ' ') || chr(10) || chr(10)
+       END AS text
+FROM s
+"""
+
+
 def _add_url_bucket(num_buckets: int):
     """Map-side url-hash bucket column (crc32 — stable across processes)
     for hash-partitioned output: no extra shuffle, the partitioned write

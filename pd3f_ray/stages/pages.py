@@ -167,16 +167,15 @@ def extract_pages_fused(ds, opts=None, num_buckets: int = DEFAULT_NUM_BUCKETS):
 
     # push-based sort shuffle is consistently ~8% faster than the
     # pull-based default on this exchange (A/B at sf0.1, best-of-2
-    # alternating); HASH_SHUFFLE hangs on it (>500 s). DataContext is
-    # process-global — acceptable: every other exchange in this repo is
-    # a small post-pre-aggregation shuffle where the strategy is noise.
+    # alternating); HASH_SHUFFLE hangs on it (>500 s). Scoped to THIS
+    # pipeline's plan context (each Dataset carries its own DataContext
+    # copy from read time) so other Datasets in the process keep the
+    # strategy they were built — and A/B'd — under.
     try:
-        from ray.data.context import DataContext, ShuffleStrategy
+        from ray.data.context import ShuffleStrategy
 
-        DataContext.get_current().shuffle_strategy = (
-            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-        )
-    except ImportError:  # pragma: no cover — older/newer Ray layouts
+        ds.context.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except (ImportError, AttributeError):  # pragma: no cover — Ray layouts
         pass
 
     base = opts or ExtractOptions.experimental()

@@ -319,6 +319,20 @@ def test_extract_roundtrip_byte_identical(ray_session, con):
     _match(extract_roundtrip(SF), EXTRACT_ROUNDTRIP_SQL, con)
 
 
+def test_pages_roundtrip_byte_identical(ray_session, con):
+    """The page-table path's oracle invariant: two-page word-midpoint
+    split, pushed through the REAL bucketed sort-shuffle + fused reduce
+    (extract_pages_fused), comes back as part1\\n\\npart2\\n\\n — the
+    shuffle's (url, page_idx) sort is load-bearing because page rows
+    are emitted in reversed page order."""
+    from pd3f_ray.pipelines.extraction import (
+        PAGES_ROUNDTRIP_SQL,
+        pages_roundtrip,
+    )
+
+    _match(pages_roundtrip(SF), PAGES_ROUNDTRIP_SQL, con)
+
+
 def test_dedup_clusters_oracle(ray_session, con):
     """Connected-component labels over the exact near-dup pair set must
     match the recursive-SQL reachability oracle (min reachable doc_id
