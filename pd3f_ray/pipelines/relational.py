@@ -331,28 +331,56 @@ QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 
 def event_value_quantiles(sf_dir: str):
-    """Exact discrete quantiles of event value per event_type: the group
-    count is tiny (one per type) while groups are large, so the shuffle
-    key is the type and each group sorts its own values — the standard
-    exact-quantile plan when the cardinality of the key is small. Values
-    travel as integer cents; quantiles are ``quantile_disc`` semantics
-    (the element at ceil(q*n)-1 of the sorted list), matching DuckDB."""
+    """Exact discrete quantiles of event value per event_type, with NO
+    unbounded group: instead of shuffling raw values to one group per
+    type (terabyte groups on a 100 TB event stream), each batch folds
+    its values into (event_type, cents, n) partial counts (pyarrow
+    group_by — one row per distinct value per block), one hash
+    aggregate sums them, and the per-type reduce then operates on the
+    DISTINCT-VALUE table only: sort by cents, cumulative-sum the
+    counts, and index the quantile positions into the run-length
+    representation. Exchange volume and group size are bounded by the
+    value cardinality (integer cents of a price-like column), never by
+    the event count. Quantiles are ``quantile_disc`` semantics (the
+    element at 1-based position ceil(q*n) of the sorted multiset),
+    matching DuckDB."""
+    from ray.data.aggregate import Sum
+
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "value"])
 
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False) * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
     def per_type(group: pd.DataFrame) -> pd.DataFrame:
-        v = group["value"].to_numpy() * 100
-        cents = np.sort((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64))
-        n = len(cents)
+        g = group.sort_values("cents")
+        counts = g["n"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
         row = {"event_type": [group["event_type"].iloc[0]],
                "n_events": [n]}
         for q in QUANTILES:
-            idx = max(int(np.ceil(q * n)) - 1, 0)
+            k = max(int(np.ceil(q * n)), 1)
+            idx = int(np.searchsorted(cum, k, side="left"))
             row[f"p{int(q * 100)}_cents"] = [int(cents[idx])]
         return pd.DataFrame(row)
 
-    return ds.groupby("event_type").map_groups(per_type,
-                                               batch_format="pandas")
+    return hist.groupby("event_type").map_groups(per_type,
+                                                 batch_format="pandas")
 
 
 EVENT_QUANTILES_SQL = f"""

@@ -265,8 +265,27 @@ def top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
     )
-    # top-k: per-block top-k then a tiny global resolve
-    return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+    # Per-block top-k partials, then a tiny resolve: after the hash
+    # aggregate each token lives in exactly one block, so any global
+    # top-k token is in its block's top-k — keeping k rows per block is
+    # EXACT, and the final sort runs over ≤ blocks×k rows instead of
+    # the whole distinct-token table (billions of rows at corpus
+    # scale). Tie order (n desc, token asc) is applied identically in
+    # both passes.
+    import pyarrow.compute as pc
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("n", "descending"), ("token", "ascending")],
+        )
+        return batch.take(order[:k])
+
+    candidates = totals.map_batches(block_topk, batch_format="pyarrow")
+    return candidates.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
 def top_tokens_sql(k: int = TOP_TOKENS_K) -> str:
@@ -423,6 +442,19 @@ def top_tokens_per_lang(sf_dir: str, k: int = TOP_PER_LANG_K):
         .aggregate(Sum("n", alias_name="n"))
     )
 
+    # Per-block per-lang top-k partials BEFORE the per-lang reduce:
+    # after the (lang, token) hash aggregate each pair lives in exactly
+    # one block, so keeping k rows per (block, lang) is EXACT for the
+    # per-lang top-k — the final groupby("lang") then holds ≤ blocks×k
+    # candidate rows per language, bounded by the block count, never by
+    # the language's vocabulary size.
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["lang", "n", "token"],
+                              ascending=[True, False, True])
+        return b.groupby("lang", sort=False).head(k)
+
+    candidates = totals.map_batches(block_topk, batch_format="pandas")
+
     def per_lang_topk(group: pd.DataFrame) -> pd.DataFrame:
         out = []
         for lg, sub in group.groupby("lang", sort=False):
@@ -438,9 +470,8 @@ def top_tokens_per_lang(sf_dir: str, k: int = TOP_PER_LANG_K):
                                  "rank": pd.Series([], dtype="int64")})
         return pd.concat(out)[["lang", "token", "n", "rank"]]
 
-    # languages are few: group directly by lang (bounded), reduce in-group
-    return totals.groupby("lang").map_groups(per_lang_topk,
-                                             batch_format="pandas")
+    return candidates.groupby("lang").map_groups(per_lang_topk,
+                                                 batch_format="pandas")
 
 
 def top_tokens_per_lang_sql(k: int = TOP_PER_LANG_K) -> str:
