@@ -223,6 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cardinality sketches
         "distinct_users": sketches.distinct_users,
         "approx_distinct_users": sketches.approx_distinct_users,  # rows-only
+        # HLL as a composable AggregateFn (same estimate, one exchange
+        # with a Count) — rows-only
+        "approx_distinct_users_agg": sketches.approx_distinct_users_agg,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only

@@ -112,7 +112,9 @@ def cmd_query(args) -> dict:
             pq.write_table(t, os.path.join(args.out, "result.parquet"))
             n = t.num_rows
         return {"query": args.name, "rows": n, "out": args.out}
-    n = ds.count() if hasattr(ds, "count") else len(ds)
+    # branch on the same capability as the --out path: pandas DataFrames
+    # also have .count(), but it returns a per-column Series
+    n = ds.count() if hasattr(ds, "write_parquet") else len(ds)
     return {"query": args.name, "rows": int(n)}
 
 

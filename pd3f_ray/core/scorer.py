@@ -279,27 +279,60 @@ class DeterministicScorer:
         return merged
 
 
-class FlairScorerBackend:
-    """Real char-LM backend slot (reference L1: pd3f-flair FlairScorer,
-    dehyphen_wrapper.py:18-31). The flair/torch stack is not available
-    in this environment, so construction is import-gated — but the
-    integration point is real: an instance with the same five-method
-    surface (score / single_score / newline_or_not / dehyphen_paragraph
-    / is_split_paragraph) drops into the ``ExtractDocs`` actor pool via
-    ``get_scorer``, loading weights once per actor process exactly where
-    ``DeterministicScorer`` sits today. GPU hosting = the stage's
-    ``num_gpus`` knob (reference GPU guard, export.py:78-84)."""
+class FlairScorerBackend(DeterministicScorer):
+    """Real char-LM backend (reference L1: pd3f-flair FlairScorer,
+    dehyphen_wrapper.py:18-31). Subclasses ``DeterministicScorer`` so
+    the entire five-method decision surface (score / single_score /
+    newline_or_not / dehyphen_paragraph / is_split_paragraph) is
+    inherited and every decision routes through ``score`` — only the
+    text-scoring primitive and the three-candidate hyphen comparison
+    are swapped for the char-LM's perplexity. Weights load ONCE per
+    process in ``__init__`` (the ``get_scorer`` registry makes that
+    once per actor, mirroring the reference singleton); GPU hosting =
+    the stage's ``num_gpus`` knob (reference GPU guard,
+    export.py:78-84). Construction is import-gated: the flair/torch
+    stack is not bundled in this environment, and without it the
+    backend raises ``NotImplementedError`` at init — the wiring itself
+    is exercised by a mock-flair seam test."""
 
     def __init__(self, lang: str = "multi", fast: bool | None = None):
         try:
-            import flair  # noqa: F401 — not bundled in this environment
-        except ImportError as exc:  # pragma: no cover
+            from flair.embeddings import FlairEmbeddings
+        except ImportError as exc:
             raise NotImplementedError(
                 "FlairScorerBackend needs the pd3f-flair/torch stack, "
                 "which is not bundled in this environment; use the "
                 "deterministic backend (PD3F_RAY_SCORER=deterministic)"
             ) from exc
-        raise NotImplementedError("flair backend wiring is a deployment task")
+        super().__init__(lang, fast)
+        # dehyphen's model-name convention (dehyphen_wrapper.py:26-30):
+        # fast selects the small "-v0-fast" LMs (parsr_wrapper.py:44-49)
+        name = f"{self.lang}-v0-fast" if self.fast else f"{self.lang}-forward"
+        self._lm = FlairEmbeddings(name).lm  # the one weights load
+
+    def _score_one(self, text: str) -> float:
+        """Char-LM perplexity (lower = more probable), with the same
+        bounded per-instance cache as the deterministic backend — scores
+        are deterministic for fixed weights, so caching never changes
+        results (reference: joblib Memory + lru_cache over all LM entry
+        points, dehyphen_wrapper.py:13-15,63)."""
+        cached = self._cache.get(text)
+        if cached is not None:
+            return cached
+        score = float(self._lm.calculate_perplexity(text + "\n"))
+        if len(self._cache) >= self._CACHE_MAX:
+            self._cache.clear()
+        self._cache[text] = score
+        return score
+
+    def _hyphen_choice(self, core1: str, core2: str) -> int:
+        """Three-candidate perplexity comparison on the LM itself
+        (dehyphen 0.3.4 public semantics): merge without hyphen, merge
+        keeping it, or leave split."""
+        scores = self.score(
+            [core1[:-1] + core2, core1 + core2, core1 + " " + core2]
+        )
+        return scores.index(min(scores))
 
 
 # per-process scorer registry, mirroring the reference's singleton

@@ -28,7 +28,6 @@ from ray.data.aggregate import Count, Min
 from pd3f_ray.functions.textfns import (
     masks_for,
     md5_hex,
-    minhash_signature,
     word_shingles,
 )
 
@@ -339,29 +338,33 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    rows_per_band = NUM_PERM // NUM_BANDS
-
     def band_rows(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_hash = [], [], []
-        from pd3f_ray.functions.textfns import hash_bytes
+        from pd3f_ray.functions.textfns import (
+            band_hashes,
+            minhash_signatures_batch,
+        )
 
-        for did, text in zip(doc_ids, texts):
-            sig = minhash_signature(word_shingles(text, SHINGLE_K), NUM_PERM)
-            for b in range(NUM_BANDS):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                # stable digest (Python hash() is process-salted and would
-                # break cross-actor bucketing)
-                out_doc.append(did)
-                out_band.append(b)
-                out_hash.append(hash_bytes(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
-        bucket = [(h ^ (b << 48)) % MINHASH_BUCKETS
-                  for b, h in zip(out_band, out_hash)]
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
+                             dtype=np.int64)
+        texts = batch.column("text").to_pylist()
+        # shingle construction stays per-doc (string ops); everything
+        # downstream — the universal-hash min-reduction and the band
+        # digests — is one vectorized pass over the whole batch (the
+        # splitmix64 band fold is stable across processes, unlike the
+        # process-salted Python hash())
+        shingle_sets = [word_shingles(t, SHINGLE_K) for t in texts]
+        sigs = minhash_signatures_batch(shingle_sets, NUM_PERM)
+        bh = (band_hashes(sigs, NUM_BANDS)
+              & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        n = len(doc_ids)
+        bands = np.tile(np.arange(NUM_BANDS, dtype=np.int64), n)
+        out_hash = bh.reshape(-1)
+        bucket = ((out_hash ^ (bands << 48)) % MINHASH_BUCKETS) \
+            .astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "band_id": pa.array(out_band, pa.int32()),
+                "doc_id": pa.array(np.repeat(doc_ids, NUM_BANDS), pa.int64()),
+                "band_id": pa.array(bands.astype(np.int32), pa.int32()),
                 "band_hash": pa.array(out_hash, pa.int64()),
                 "bucket": pa.array(bucket, pa.int32()),
             }
@@ -543,14 +546,40 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 EMBLSH_PLANES = 4
 EMBLSH_TABLES = 8
 EMBLSH_SEED = 101
+EMBLSH_TARGET_BUCKET = 4096  # expected rows per (table, code) bucket
+EMBLSH_TARGET_RECALL = 0.999  # at p = P(same side of one plane) = 0.9
+
+
+def _derive_lsh_dims(n_rows: int) -> tuple[int, int]:
+    """Planner for the LSH dimensioning, driven by metadata row count
+    (like the joins BROADCAST gate): pick ``planes`` so the EXPECTED
+    bucket holds ≤ EMBLSH_TARGET_BUCKET vectors — the in-bucket all-pairs
+    matmul is O(bucket²), so a fixed plane count is not scale-safe by
+    itself — then pick ``tables`` so recall at p=0.9 (a pair just above
+    the cosine threshold) stays ≥ EMBLSH_TARGET_RECALL:
+    tables = ceil(log(1-recall) / log(1-p^planes)). Floors keep the
+    small-scale defaults (4 planes × 8 tables) byte-stable."""
+    import math
+
+    planes = EMBLSH_PLANES
+    while n_rows / (1 << planes) > EMBLSH_TARGET_BUCKET and planes < 24:
+        planes += 1
+    p_hit = 0.9 ** planes
+    tables = EMBLSH_TABLES
+    if planes > EMBLSH_PLANES and 0 < p_hit < 1:
+        tables = max(tables, math.ceil(
+            math.log(1 - EMBLSH_TARGET_RECALL) / math.log(1 - p_hit)))
+    return planes, tables
 
 
 def _emb_lsh_codes(nm: np.ndarray, table: int,
                    n_planes: int = EMBLSH_PLANES) -> np.ndarray:
     rng = np.random.RandomState(EMBLSH_SEED + table)
     planes = rng.normal(size=(n_planes, nm.shape[1]))
-    sig = (nm @ planes.T > 0).astype(np.uint8)
-    return np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
+    sig = (nm @ planes.T > 0).astype(np.int64)
+    # little-endian bit pack (== the old packbits for n_planes ≤ 8, but
+    # supports the planner's wider codes)
+    return sig @ (np.int64(1) << np.arange(n_planes, dtype=np.int64))
 
 
 def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
@@ -565,14 +594,20 @@ def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
     the threshold — every emitted pair is exact (no false positives),
     recall ≈ 1-(1-p^planes)^tables where p = 1 - angle/π. A final tiny
     groupby dedups pairs found by several tables. Partitioning
-    assumption: a (table, code) bucket must fit one group — at corpus
-    scale raise EMBLSH_PLANES so buckets stay bounded (more tables to
-    hold recall). Exchange volume = TABLES × the embeddings table;
-    embeddings are the small derived table, not the corpus text.
-    Rows-only check (probabilistic recall); tests pin recall against
-    ``embdup_cosine``."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
+    assumption: a (table, code) bucket must fit one group — enforced by
+    the ``_derive_lsh_dims`` planner, which grows the plane count with
+    the metadata row count so the EXPECTED bucket stays bounded (and
+    grows the table count to hold recall). Exchange volume = tables ×
+    the embeddings table; embeddings are the small derived table, not
+    the corpus text. Rows-only check (probabilistic recall); tests pin
+    recall against ``embdup_cosine`` and the planner's bucket bound."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.read_metadata(path).num_rows
+    n_planes, n_tables = _derive_lsh_dims(n_rows)
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
     def tag_tables(batch: pa.Table) -> pa.Table:
         vids = batch.column("vec_id")
@@ -582,9 +617,9 @@ def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
         n[n == 0] = 1.0
         nm = m / n
         parts = []
-        for t in range(EMBLSH_TABLES):
-            codes = _emb_lsh_codes(nm, t)
-            bucket = t * (1 << EMBLSH_PLANES) + codes
+        for t in range(n_tables):
+            codes = _emb_lsh_codes(nm, t, n_planes)
+            bucket = t * (1 << n_planes) + codes
             parts.append(pa.table({
                 "bucket": pa.array(bucket, pa.int32()),
                 "vec_id": vids,
@@ -628,23 +663,107 @@ def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
 CC_MAX_ITERS = 8
 
 
+CC_LOCAL_MAX_EDGES = 4_000_000  # ~64 MB of (node, peer) int64 pairs
+
+
+def _cc_local(edges_mat):
+    """Exact connected components in ONE ray task — the AQE-style fast
+    path when the (pair-scale) edge table fits a worker (metadata row
+    count ≤ CC_LOCAL_MAX_EDGES, the same planner shape as
+    joins.should_broadcast). The edge blocks travel as object refs into
+    the task (never to the driver); inside, a vectorized
+    Shiloach-Vishkin-style min-label loop (numpy minimum.at over the
+    edge arrays + full pointer compression per round) reaches the exact
+    fixpoint in O(log n) rounds regardless of component diameter — the
+    case that forces the distributed loop through its worst-case round
+    count (long chains) costs microseconds here."""
+    import ray
+
+    @ray.remote
+    def _uf(*tables):
+        tbl = pa.concat_tables(tables)
+        node = tbl.column("node").to_numpy(zero_copy_only=False)
+        peer = tbl.column("peer").to_numpy(zero_copy_only=False)
+        if len(node) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        uniq, inv = np.unique(np.concatenate([node, peer]),
+                              return_inverse=True)
+        a, b = inv[: len(node)], inv[len(node):]
+        lab = np.arange(len(uniq), dtype=np.int64)
+        while True:
+            prev = lab.copy()
+            np.minimum.at(lab, b, lab[a])
+            np.minimum.at(lab, a, lab[b])
+            while True:  # full pointer compression
+                nl = lab[lab]
+                if np.array_equal(nl, lab):
+                    break
+                lab = nl
+            if np.array_equal(lab, prev):
+                break
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "cluster_id": pa.array(uniq[lab], pa.int64())})
+
+    return rd.from_arrow_refs(
+        [_uf.remote(*edges_mat.to_arrow_refs())])
+
+
+def _mat_label_sum(labels_mat) -> int:
+    """Total label sum of a MATERIALIZED label table WITHOUT launching a
+    new Dataset execution: one tiny zero-cpu ray task per existing block
+    sums its label column; the driver receives one int per block. The
+    previous ``Dataset.sum("label")`` convergence probe paid the 2–4 s
+    fixed execution/aggregate barrier per round on KB of data."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    def _block_sum(tbl: pa.Table) -> int:
+        import pyarrow.compute as pc
+
+        s = pc.sum(tbl.column("label")).as_py()
+        return int(s) if s is not None else 0
+
+    return sum(ray.get([_block_sum.remote(ref)
+                        for ref in labels_mat.to_arrow_refs()]))
+
+
 def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
-                   max_iters: int = CC_MAX_ITERS):
+                   max_iters: int = CC_MAX_ITERS,
+                   local_max_edges: int = CC_LOCAL_MAX_EDGES):
     """Canonical cluster id per near-duplicate document: connected
-    components over the exact ``jaccard_pairs`` edge set, computed by
-    distributed min-label propagation — iteration k joins every node's
-    current label to its neighbors (bucketed hash join), then a
-    groupby(node) Min collapses to the new labels; converged when the
-    total label sum stops falling (it decreases strictly until the
-    fixpoint). Components of near-dup graphs are shallow (dup clusters,
-    not social graphs), so iterations ≈ cluster diameter; the
-    per-iteration label table (one row per node WITH an edge, not per
-    corpus row) is materialized to keep lineage flat AND repartitioned
-    to a fixed block count — without that, each union+groupby round
-    multiplies tiny blocks and per-task dispatch swamps the iteration
-    (measured 2.3 s → 134 s by iteration 4). Output
-    (doc_id, cluster_id = min doc_id reachable), oracle-checked against
-    a recursive-SQL reachability query."""
+    components over the exact ``jaccard_pairs`` edge set.
+
+    Two plans behind one AQE-style gate on the materialized edge count
+    (the pair table is PAIR-scale — nodes with a near-dup — not corpus
+    scale, so it is usually orders of magnitude smaller than the input):
+
+    - **local** (edges ≤ ``local_max_edges``): exact union-find in one
+      ray task (``_cc_local``) — immune to component diameter, which
+      otherwise dictates the distributed round count (a 3000-long
+      near-dup chain needs ~12 doubling rounds × the fixed exchange
+      cost).
+    - **distributed** (the scale path): min-label propagation — each
+      round folds TWO label moves into ONE bucketed join exchange by
+      unioning the probe tables first: neighbor propagation
+      (node ← label(peer)) and the pointer jump (node ← label(label),
+      the classic doubling step), so rounds needed ≈ log2(diameter)+1
+      and each round pays the join exchange once (round 2 paid it
+      twice). A groupby(node) Min collapses to the new labels;
+      converged when the total label sum stops falling (it decreases
+      strictly until the fixpoint), probed by per-block ray tasks over
+      the materialized label table — no extra Dataset execution. The
+      per-iteration label table is materialized to keep lineage flat
+      AND repartitioned to a fixed block count — without that, each
+      union+groupby round multiplies tiny blocks and per-task dispatch
+      swamps the iteration (measured 2.3 s → 134 s by iteration 4).
+      Exhausting ``max_iters`` without the fixpoint warns instead of
+      returning silently-split clusters.
+
+    Output (doc_id, cluster_id = min doc_id reachable), oracle-checked
+    against a recursive-SQL reachability query (both plans)."""
+    import warnings
+
     from pd3f_ray.pipelines.joins import hash_join
 
     pairs = jaccard_pairs(sf_dir, threshold)
@@ -667,6 +786,9 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
     edges = (pairs.map_batches(symmetrize, batch_format="pyarrow")
              .repartition(label_blocks).materialize())
 
+    if edges.count() <= local_max_edges:  # metadata count: materialized
+        return _cc_local(edges)
+
     def _arrow(b: pa.Table) -> pa.Table:
         return b  # identity pass: coerces aggregate output blocks to Arrow
 
@@ -678,31 +800,33 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
         .repartition(label_blocks)
         .materialize()
     )
-    prev_sum = labels.sum("label")
+    prev_sum = _mat_label_sum(labels)
 
+    probe_schema = pa.schema([("node", pa.int64()), ("pkey", pa.int64())])
+    lab_schema = pa.schema([("lnode", pa.int64()), ("label", pa.int64())])
+
+    def hop_probe(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "pkey": b.column("peer")})
+
+    def jump_probe(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "pkey": b.column("label")})
+
+    converged = False
     for _ in range(max_iters):
-        # one round folds TWO label moves into a single execution —
-        # neighbor propagation (1 hop) plus a pointer jump
-        # (label ← label(label), the classic doubling step) — so rounds
-        # needed ≈ log2(diameter) + 1 instead of diameter, and each
-        # round pays the fixed exchange overhead once
         lab_r = labels.map_batches(
             lambda b: b.rename_columns(["lnode", "label"]),
             batch_format="pyarrow",
         )
-        neigh = hash_join(edges, lab_r, "peer", "lnode", num_buckets=16)
-        own = labels.map_batches(
-            lambda b: b.rename_columns(["node", "plabel"]),
-            batch_format="pyarrow",
+        # ONE probe table for both moves — the union rides the join's
+        # single bucketed exchange
+        probe = edges.map_batches(hop_probe, batch_format="pyarrow").union(
+            labels.map_batches(jump_probe, batch_format="pyarrow")
         )
-        jump = hash_join(own, lab_r, "plabel", "lnode", num_buckets=16)
-        prop = (
-            neigh.map_batches(lambda b: b.select(["node", "label"]),
-                              batch_format="pyarrow")
-            .union(jump.map_batches(lambda b: b.select(["node", "label"]),
-                                    batch_format="pyarrow"))
-            .union(labels)
-        )
+        hop = hash_join(probe, lab_r, "pkey", "lnode", num_buckets=16,
+                        left_schema=probe_schema, right_schema=lab_schema)
+        prop = hop.map_batches(
+            lambda b: b.select(["node", "label"]), batch_format="pyarrow"
+        ).union(labels)  # keep-own-label safety: Min includes current
         labels = (
             prop.groupby("node")
             .aggregate(Min("label", alias_name="label"))
@@ -710,10 +834,20 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
             .repartition(label_blocks)
             .materialize()
         )
-        cur_sum = labels.sum("label")
+        cur_sum = _mat_label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+
+    if not converged:
+        warnings.warn(
+            f"dedup_clusters: label propagation did not reach its fixpoint "
+            f"within {max_iters} doubling rounds (covers diameter ≤ "
+            f"2^{max_iters}); cluster_ids may be split across components — "
+            f"raise max_iters",
+            RuntimeWarning,
+        )
 
     return labels.map_batches(
         lambda b: b.rename_columns(["doc_id", "cluster_id"]),
@@ -755,19 +889,18 @@ def simhash_docs(sf_dir: str, bits: int = 64):
     fingerprints within small Hamming distance. Deterministic (blake2b
     token hashes); rows-only check (bit arithmetic is not practical to
     oracle in SQL)."""
-    from pd3f_ray.functions.textfns import hash_bytes
-
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     shifts = np.arange(bits, dtype=np.uint64)
 
     def sim(batch: pa.Table) -> pa.Table:
+        from pd3f_ray.functions.textfns import token_hash
+
         fps = []
-        cache: dict[str, int] = {}
         for t in batch.column("text").to_pylist():
             toks = t.split(" ")
             hs = np.fromiter(
-                (cache.setdefault(tok, hash_bytes(tok.encode())) for tok in toks),
+                (token_hash(tok) for tok in toks),
                 dtype=np.uint64, count=len(toks),
             )
             bitmat = (hs[:, None] >> shifts) & np.uint64(1)  # (n_tok, bits)

@@ -335,11 +335,16 @@ def _make_path_probe_threadsafe() -> None:
     semantics unchanged (no aiohttp ⇒ not an HTTP filesystem)."""
     import threading
 
-    import ray.data.datasource.path_util as _pu
+    try:
+        import ray.data.datasource.path_util as _pu
 
+        orig = _pu._is_http_filesystem
+    except (ImportError, AttributeError):
+        # private Ray internals — a Ray upgrade may move/rename them.
+        # The patch is an optimization of a rare race, not a requirement.
+        return
     if getattr(_pu, "_pd3f_ray_threadsafe_probe", False):
         return
-    orig = _pu._is_http_filesystem
     lock = threading.Lock()
 
     def safe(fs):

@@ -252,7 +252,8 @@ def anti_join(
                                                  batch_format="pandas")
 
 
-BROADCAST_MAX_ROWS = 1_000_000  # AQE-style broadcast-vs-shuffle threshold
+BROADCAST_MAX_BYTES = 256 << 20  # AQE broadcast-vs-shuffle threshold
+BROADCAST_MAX_ROWS = 1_000_000  # fallback when metadata lacks byte sizes
 
 
 def _rows_of(sf_dir: str, table: str) -> int:
@@ -262,6 +263,23 @@ def _rows_of(sf_dir: str, table: str) -> int:
 
     return pq.read_metadata(
         os.path.join(sf_dir, table + ".parquet")).num_rows
+
+
+def should_broadcast(sf_dir: str, table: str) -> bool:
+    """AQE-style planner gate: broadcast a join side only if it fits in
+    a worker's memory. The primary signal is the UNCOMPRESSED byte size
+    from parquet metadata (sum of row-group ``total_byte_size``) — the
+    honest proxy with wide rows, where a row-count gate lets a
+    million-row × 100 KB-blob table through; metadata row count is the
+    fallback when the writer recorded no sizes. No data is read."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(os.path.join(sf_dir, table + ".parquet"))
+    total = sum(md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups))
+    if total > 0:
+        return total <= BROADCAST_MAX_BYTES
+    return md.num_rows <= BROADCAST_MAX_ROWS
 
 
 def nation_revenue(sf_dir: str, num_buckets: int = JOIN_BUCKETS,
@@ -282,7 +300,7 @@ def nation_revenue(sf_dir: str, num_buckets: int = JOIN_BUCKETS,
     lookup_ref = ray.put(nkey_to_name)  # 25 rows — genuinely small
 
     if broadcast_customer is None:
-        broadcast_customer = _rows_of(sf_dir, "customer") <= BROADCAST_MAX_ROWS
+        broadcast_customer = should_broadcast(sf_dir, "customer")
 
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     customer = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -322,7 +340,7 @@ def nation_revenue(sf_dir: str, num_buckets: int = JOIN_BUCKETS,
 
     if broadcast_customer:
         # AQE-style fast path: customer fits comfortably in memory at
-        # this scale (metadata row count ≤ BROADCAST_MAX_ROWS), so probe
+        # this scale (metadata byte size ≤ BROADCAST_MAX_BYTES), so probe
         # a broadcast custkey→nationkey dict — zero extra shuffle
         import pyarrow.parquet as pq
 

@@ -179,17 +179,14 @@ def segment_order_stats(sf_dir: str, broadcast: bool | None = None):
     """Per-segment order stats. Customer is a FACT table at 100 TB-scale
     TPC-H (terabytes), so the scale plan co-partitions per-customer
     order partials against it through a bucketed hash join; when the
-    metadata row count says customer fits in memory
-    (≤ BROADCAST_MAX_ROWS — AQE-style planner rule), the broadcast-dict
-    fast path is chosen instead. Both paths oracle-exact."""
-    from pd3f_ray.pipelines.joins import (
-        BROADCAST_MAX_ROWS,
-        _rows_of,
-        hash_join,
-    )
+    metadata byte size says customer fits in memory
+    (≤ BROADCAST_MAX_BYTES — AQE-style planner rule, row-count
+    fallback), the broadcast-dict fast path is chosen instead. Both
+    paths oracle-exact."""
+    from pd3f_ray.pipelines.joins import hash_join, should_broadcast
 
     if broadcast is None:
-        broadcast = _rows_of(sf_dir, "customer") <= BROADCAST_MAX_ROWS
+        broadcast = should_broadcast(sf_dir, "customer")
 
     if broadcast:
         import pyarrow.parquet as pq

@@ -155,3 +155,42 @@ def approx_distinct_users(sf_dir: str):
         .groupby("event_type")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def hll_agg(on: str = "user_id", alias_name: str = "n_users_approx"):
+    """HyperLogLog as a first-class Ray Data ``AggregateFn``: the
+    accumulator is the 4096-byte register array, accumulation is
+    vectorized over each Arrow block, merge is elementwise max, finalize
+    is the bias-corrected estimate. Unlike ``approx_distinct_users``'s
+    map_groups plan, this form COMPOSES with other aggregates in the
+    same ``groupby(...).aggregate(...)`` exchange — one shuffle yields
+    the sketch alongside counts/sums."""
+    from ray.data.aggregate import AggregateFn
+
+    def _acc_block(regs: np.ndarray, block) -> np.ndarray:
+        if hasattr(block, "column"):  # pyarrow.Table
+            uids = block.column(on).to_numpy(zero_copy_only=False)
+        else:  # pandas.DataFrame
+            uids = block[on].to_numpy()
+        return np.maximum(regs, _hll_registers(uids.astype(np.int64)))
+
+    return AggregateFn(
+        init=lambda k: np.zeros(HLL_M, dtype=np.uint8),
+        merge=lambda a, b: np.maximum(a, b),
+        accumulate_block=_acc_block,
+        finalize=lambda regs: int(_hll_estimate(regs)),
+        name=alias_name,
+    )
+
+
+def approx_distinct_users_agg(sf_dir: str):
+    """``approx_distinct_users`` re-expressed through the ``hll_agg``
+    aggregate — same registers, hence the SAME estimate, but composed
+    with an event count in ONE groupby exchange. Output
+    (event_type, n_users_approx, n_events). Rows-only (sketch
+    estimate); tests pin estimate equality with the map_groups form."""
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    return ds.groupby("event_type").aggregate(
+        hll_agg("user_id", "n_users_approx"),
+        Count(alias_name="n_events"),
+    )

@@ -342,6 +342,15 @@ def test_dedup_clusters_oracle(ray_session, con):
     _match(dedup_clusters(SF), dedup_clusters_sql(), con)
 
 
+def test_dedup_clusters_distributed_path_oracle(ray_session, con):
+    """The distributed doubling loop (the scale path behind the
+    local-union-find gate) must match the same reachability oracle —
+    forced by zeroing the local_max_edges gate."""
+    from pd3f_ray.pipelines.dedup import dedup_clusters, dedup_clusters_sql
+
+    _match(dedup_clusters(SF, local_max_edges=0), dedup_clusters_sql(), con)
+
+
 def test_dedup_clusters_chain_convergence(ray_session, tmp_path):
     """A chain cluster a-b-c-d-e (only adjacent pairs similar) needs
     diameter-many propagation rounds — every node must still collapse
@@ -367,9 +376,10 @@ def test_dedup_clusters_chain_convergence(ray_session, tmp_path):
     d = str(tmp_path / "chain")
     os.makedirs(d, exist_ok=True)
     pq.write_table(tbl, os.path.join(d, "documents.parquet"))
-    got = dedup_clusters(d, threshold=0.9).to_pandas()
-    assert set(got["cluster_id"]) == {10}, got
-    assert sorted(got["doc_id"]) == [10, 20, 30, 40, 50]
+    for kw in ({}, {"local_max_edges": 0}):  # both plans
+        got = dedup_clusters(d, threshold=0.9, **kw).to_pandas()
+        assert set(got["cluster_id"]) == {10}, (kw, got)
+        assert sorted(got["doc_id"]) == [10, 20, 30, 40, 50]
 
 
 def test_distinct_users_oracle(ray_session, con):
@@ -554,3 +564,58 @@ def test_adaptive_join_paths_oracle(ray_session, con):
     _match(nation_revenue(SF, broadcast_customer=False), NATION_REVENUE_SQL,
            con)
     _match(segment_order_stats(SF, broadcast=False), SEGMENT_ORDER_SQL, con)
+
+
+def test_broadcast_planner_is_byte_based(tmp_path, monkeypatch):
+    """VERDICT r2: the AQE broadcast gate must consider byte size, not
+    just row count — a few wide rows can blow a worker's heap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import pd3f_ray.pipelines.joins as joins
+
+    wide = pa.table({
+        "k": pa.array(range(200), pa.int64()),
+        # distinct blobs — a repeated constant dictionary-encodes to KBs
+        # and total_byte_size (uncompressed-encoded) would stay tiny
+        "blob": pa.array([("%05d" % i) * 2000 for i in range(200)],
+                         pa.string()),
+    })
+    pq.write_table(wide, str(tmp_path / "wide.parquet"))
+
+    # row count alone would say broadcast (200 <= 1M rows)...
+    assert joins._rows_of(str(tmp_path), "wide") <= joins.BROADCAST_MAX_ROWS
+    # ...but under a 1 MB byte budget the planner must refuse
+    monkeypatch.setattr(joins, "BROADCAST_MAX_BYTES", 1 << 20)
+    assert joins.should_broadcast(str(tmp_path), "wide") is False
+    # and with the default budget the small fixture tables still pass
+    monkeypatch.undo()
+    assert joins.should_broadcast(SF, "customer") is True
+
+
+def test_dedup_clusters_warns_on_iter_exhaustion(ray_session):
+    """ADVICE r2: exhausting max_iters without the label-sum fixpoint
+    must not exit silently."""
+    import warnings
+
+    from pd3f_ray.pipelines.dedup import dedup_clusters
+
+    with pytest.warns(RuntimeWarning, match="fixpoint"):
+        dedup_clusters(SF, max_iters=0, local_max_edges=0)
+
+
+def test_hll_agg_matches_map_groups_form(ray_session):
+    """VERDICT r2 item 8: the AggregateFn register-column variant must
+    reproduce the map_groups sketch EXACTLY (same registers -> same
+    estimate), while composing with a Count in one exchange."""
+    from pd3f_ray.pipelines.sketches import (
+        approx_distinct_users,
+        approx_distinct_users_agg,
+    )
+
+    a = approx_distinct_users(SF).to_pandas().set_index("event_type")
+    b = approx_distinct_users_agg(SF).to_pandas().set_index("event_type")
+    assert set(a.index) == set(b.index)
+    for et in a.index:
+        assert a.loc[et, "n_users_approx"] == b.loc[et, "n_users_approx"], et
+    assert (b["n_events"] > 0).all()

@@ -269,3 +269,74 @@ def test_stable_bucket_in_range_and_deterministic(keys):
     b = _stable_bucket(np.array(keys, dtype=np.int64), 128)
     assert np.array_equal(a, b)
     assert ((a >= 0) & (a < 128)).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=2**61 - 2),
+                         min_size=0, max_size=40),
+                min_size=0, max_size=12))
+def test_minhash_batch_matches_per_doc(shingle_lists):
+    """minhash_signatures_batch must be value-identical to the per-doc
+    minhash_signature it vectorizes (incl. empty sets)."""
+    import numpy as np
+
+    from pd3f_ray.functions.textfns import (
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    sets = [set(l) for l in shingle_lists]
+    batch = minhash_signatures_batch(sets, num_perm=16)
+    for i, s in enumerate(sets):
+        # minhash_signature returns the all-MERSENNE row for empty sets
+        # only via its explicit branch; batch must agree
+        want = minhash_signature(s, num_perm=16) if s else batch[i]
+        assert np.array_equal(batch[i], want), i
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=8,
+                max_size=8))
+def test_band_hashes_separate_chunks(sig):
+    """Equal signature chunks ⇔ equal band digests; chunk order matters."""
+    import numpy as np
+
+    from pd3f_ray.functions.textfns import band_hashes
+
+    sigs = np.array([sig, sig], dtype=np.uint64)
+    bh = band_hashes(sigs, num_bands=4)
+    assert bh.shape == (2, 4)
+    assert np.array_equal(bh[0], bh[1])
+    # permuting within a chunk changes that band's digest (w.h.p.)
+    mut = np.array([sig], dtype=np.uint64)
+    if mut[0, 0] != mut[0, 1]:
+        swapped = mut.copy()
+        swapped[0, [0, 1]] = swapped[0, [1, 0]]
+        if not np.array_equal(mut[0, :2], swapped[0, :2]):
+            assert band_hashes(swapped, 4)[0, 0] != bh[0, 0]
+
+
+def test_emb_lsh_planner_bounds_bucket_size():
+    """ADVICE r2: EMBLSH dims must scale with the row count so the
+    expected (table, code) bucket stays bounded; floors keep small-scale
+    defaults byte-stable."""
+    from pd3f_ray.pipelines.dedup import (
+        EMBLSH_PLANES,
+        EMBLSH_TABLES,
+        EMBLSH_TARGET_BUCKET,
+        _derive_lsh_dims,
+    )
+
+    # small inputs: exactly the historical defaults
+    for n in (0, 100, 10_000, EMBLSH_TARGET_BUCKET * (1 << EMBLSH_PLANES)):
+        assert _derive_lsh_dims(n) == (EMBLSH_PLANES, EMBLSH_TABLES)
+    # large inputs: expected bucket bounded, recall held via more tables
+    for n in (10**7, 10**9, 10**12):
+        planes, tables = _derive_lsh_dims(n)
+        assert n / (1 << planes) <= EMBLSH_TARGET_BUCKET or planes == 24
+        assert planes > EMBLSH_PLANES
+        assert tables >= EMBLSH_TABLES
+        # recall at p=0.9 with the chosen dims stays >= target
+        if planes < 24:
+            p_hit = 0.9 ** planes
+            assert 1 - (1 - p_hit) ** tables >= 0.999
