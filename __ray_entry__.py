@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         sketches,
         textstats,
+        webcurate,
         webtext,
         windows,
     )
@@ -233,6 +234,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (stub decode, real actor-pool plumbing)
         "media_features": multimodal.media_features_flat,  # rows-only
         "media_kind_summary": multimodal.media_kind_summary,
+        # web-corpus curation (CCNet/Gopher-style passes)
+        "domain_stats": webcurate.domain_stats,
+        "gopher_quality": webcurate.gopher_quality,
+        "pii_roundtrip": webcurate.pii_roundtrip,
+        "line_dedup_docs": webcurate.line_dedup_docs,
+        "pack_sequences": webcurate.pack_sequences,  # greedy → rows-only
     }
 
 
@@ -246,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         sketches,
         textstats,
+        webcurate,
         windows,
     )
 
@@ -291,4 +299,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": similarity.knn_sql(),
         "distinct_users": sketches.DISTINCT_USERS_SQL,
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,
+        "domain_stats": webcurate.DOMAIN_STATS_SQL,
+        "gopher_quality": webcurate.GOPHER_QUALITY_SQL,
+        "pii_roundtrip": webcurate.PII_ROUNDTRIP_SQL,
+        "line_dedup_docs": webcurate.LINE_DEDUP_SQL,
     }

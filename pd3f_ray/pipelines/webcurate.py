@@ -1,0 +1,504 @@
+"""Web-corpus curation operators — the CCNet/Gopher-style passes a
+Common-Crawl-scale training-data pipeline runs between extraction and
+tokenization, each expressed Ray-Data-first over the ``documents``
+table and oracle-checked against DuckDB SQL.
+
+Ops (all new beyond the reference, which is document-local extraction
+only — SURVEY §2.8):
+
+- ``domain_stats`` — per-source corpus profile (doc/char/token counts,
+  language spread): two bounded aggregation exchanges, partial-combined
+  map-side so only (source, lang) partial rows ever shuffle.
+- ``gopher_quality`` — Gopher-style per-document quality rules
+  (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1):
+  word-count bounds, mean-word-length band, distinct-token ratio,
+  stop-word hit. Pure map stage; integer-scaled metrics so the driver
+  hash compare is exact.
+- ``pii_roundtrip`` — PII scrubbing (email/phone/IPv4 → typed
+  placeholders) proven by injection roundtrip: deterministic PII spans
+  are injected per document, the ``PiiScrubber`` stage must find and
+  replace ALL of them, and the oracle reconstructs the expected output
+  from the clean table.
+- ``line_dedup_docs`` — CCNet-style repeated-line removal per source
+  domain (Wenzek et al. 2020, CCNet): drop every line that occurs in
+  ≥2 documents of the same source, keep each document's residue in
+  order. Two plans behind an AQE-style gate on the duplicate-line
+  count (broadcast filter vs bucketed anti-join + reassembly).
+- ``pack_sequences`` — greedy fixed-token-budget sequence packing (the
+  pre-tokenization batching step): deterministic per doc-id bucket, no
+  document split across sequences; rows-only (greedy reset-cumsum is
+  not expressible in one SQL pass) with property tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from pd3f_ray.functions.textfns import hash_bytes
+
+_MASK63 = 0x7FFFFFFFFFFFFFFF
+
+
+def _docs(sf_dir: str, columns):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# domain stats
+# ---------------------------------------------------------------------------
+
+
+def domain_stats(sf_dir: str):
+    """Per-source corpus profile: (source, n_docs, sum_chars,
+    sum_tokens, n_langs).
+
+    Plan: map-side partial aggregation per (source, lang) inside each
+    batch (token counts are ``count(' ')+1`` — no tokenization pass),
+    then ``groupby([source, lang])`` Sum — the exchange carries only
+    partial rows, ≤ sources × langs per block — and a final
+    ``groupby(source)`` fold whose groups are bounded by LANGUAGE
+    cardinality (≤ a few hundred), never by corpus size. n_langs is an
+    exact distinct count because the (source, lang) collapse happened
+    in the previous exchange."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "n_chars": batch.column("n_chars").to_numpy(
+                zero_copy_only=False),
+            "lang": batch.column("lang").to_pylist(),
+            "toks": [t.count(" ") + 1
+                     for t in batch.column("text").to_pylist()],
+        })
+        g = (df.groupby(["source", "lang"], sort=False)
+             .agg(n_docs=("toks", "size"), sum_chars=("n_chars", "sum"),
+                  sum_tokens=("toks", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_lang = (
+        _docs(sf_dir, ["source", "lang", "text", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+    )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": [group["source"].iloc[0]],
+            "n_docs": [int(group["n_docs"].sum())],
+            "sum_chars": [int(group["sum_chars"].sum())],
+            "sum_tokens": [int(group["sum_tokens"].sum())],
+            "n_langs": [int(group["lang"].nunique())],
+        })
+
+    return per_lang.groupby("source").map_groups(fold,
+                                                 batch_format="pandas")
+
+
+DOMAIN_STATS_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       SUM(array_length(string_split(text, ' '))) AS sum_tokens,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 5000
+GOPHER_MIN_MWL_X100 = 200    # mean word length ≥ 2.00 chars
+GOPHER_MAX_MWL_X100 = 1000   # ≤ 10.00 chars
+GOPHER_MIN_DISTINCT_X1000 = 300  # distinct-token ratio ≥ 0.300
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+def gopher_quality(sf_dir: str):
+    """Per-document Gopher-style quality metrics + keep verdict:
+    (doc_id, n_words, mean_word_len_x100, distinct_ratio_x1000,
+    has_stopword, keep). Pure map stage — no exchange; metrics are
+    integer-scaled (floor division, all-positive operands) so the Ray
+    and SQL computations are bit-equal. Mean word length uses the
+    single-space-join identity sum_len = n_chars - (n_words - 1), so no
+    second pass over the characters."""
+    stop = frozenset(GOPHER_STOPWORDS)
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        n_words = np.empty(len(texts), np.int64)
+        n_distinct = np.empty(len(texts), np.int64)
+        has_stop = np.empty(len(texts), np.bool_)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            n_words[i] = len(toks)
+            st = set(toks)
+            n_distinct[i] = len(st)
+            has_stop[i] = not stop.isdisjoint(st)
+        mwl = (n_chars - (n_words - 1)) * 100 // n_words
+        dr = n_distinct * 1000 // n_words
+        keep = (
+            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MWL_X100) & (mwl <= GOPHER_MAX_MWL_X100)
+            & (dr >= GOPHER_MIN_DISTINCT_X1000)
+            & has_stop
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len_x100": pa.array(mwl, pa.int64()),
+            "distinct_ratio_x1000": pa.array(dr, pa.int64()),
+            "has_stopword": pa.array(has_stop, pa.bool_()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        metrics, batch_format="pyarrow")
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(array_length(list_distinct(string_split(text, ' ')))
+              AS BIGINT) AS n_distinct,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         list_has_any(string_split(text, ' '),
+                      {list(GOPHER_STOPWORDS)}) AS has_stopword
+  FROM documents
+)
+SELECT doc_id,
+       n_words,
+       (n_chars - (n_words - 1)) * 100 // n_words AS mean_word_len_x100,
+       n_distinct * 1000 // n_words AS distinct_ratio_x1000,
+       has_stopword,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND ((n_chars - (n_words - 1)) * 100 // n_words
+            BETWEEN {GOPHER_MIN_MWL_X100} AND {GOPHER_MAX_MWL_X100})
+       AND (n_distinct * 1000 // n_words >= {GOPHER_MIN_DISTINCT_X1000})
+       AND has_stopword AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub roundtrip
+# ---------------------------------------------------------------------------
+
+
+def pii_roundtrip(sf_dir: str):
+    """Inject deterministic PII spans (an email, a phone number, an
+    IPv4 address — all varying with doc_id) into every document, then
+    run the ``PiiScrubber`` stage; the scrubbed text must equal the
+    original plus the typed placeholders, byte-per-doc (oracle
+    reconstructs it from the clean table). Proves the scrubber finds
+    VARYING PII, not one memorized literal. Map-only — no exchange."""
+    from pd3f_ray.stages.pii import PiiScrubber
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        dirty = [
+            f"{t} contact doc{d}@example.com or call 555-0{d % 1000:03d} "
+            f"at 10.{d % 256}.0.1"
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(dirty, pa.string()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(PiiScrubber, batch_format="pyarrow",
+                     concurrency=4, num_cpus=0.75, batch_size=1024)
+    )
+
+
+PII_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       text || ' contact <EMAIL> or call <PHONE> at <IP>' AS text
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-source line dedup
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 10          # tokens per "line" (the corpus has no \n)
+LINE_MIN_DOCS = 2         # a line in ≥ this many docs of a source is dup
+LINE_BUCKETS = 256        # dup-count exchange buckets
+LINE_BROADCAST_MAX = 2_000_000  # dup-hash broadcast gate (rows)
+
+
+def _split_lines(text: str) -> list[str]:
+    toks = text.split(" ")
+    return [" ".join(toks[i:i + LINE_TOKENS])
+            for i in range(0, len(toks), LINE_TOKENS)]
+
+
+def _line_hash(source: str, line: str) -> int:
+    return hash_bytes((source + "\x00" + line).encode()) & _MASK63
+
+
+def line_dedup_docs(sf_dir: str, broadcast_max: int = LINE_BROADCAST_MAX,
+                    num_buckets: int = LINE_BUCKETS):
+    """CCNet-style boilerplate removal: drop every LINE (fixed
+    LINE_TOKENS-token chunk — the corpus is newline-free) that appears
+    in ≥ LINE_MIN_DOCS distinct documents of the same source; emit each
+    document's surviving lines re-joined in order (documents with no
+    surviving line disappear, as in the SQL oracle).
+
+    Pass 1 (always): per-batch-distinct (line_hash, doc_id) pairs —
+    hashes only, never line text — through ONE bucketed exchange; the
+    per-bucket fold counts distinct docs per hash and keeps hashes with
+    ≥ LINE_MIN_DOCS. The dup table is boilerplate-scale (distinct
+    repeated lines), orders of magnitude below corpus scale.
+
+    Pass 2, AQE-style gate on the materialized dup count:
+
+    - **broadcast** (dup rows ≤ ``broadcast_max``): dup hashes fetched
+      block-wise (``ray.get`` per block ref — the justified small-side
+      driver read, same class as the joins broadcast dict), ``ray.put``
+      once, and the corpus pass is map-only: split, filter against the
+      set, rejoin — ZERO text ever shuffles.
+    - **anti-join** (the scale path): exploded lines (text + position)
+      anti-joined against the dup table on line_hash (one bucketed
+      exchange), then reassembled per document via a doc-id-bucketed
+      ``map_groups`` (second exchange; groups bounded by the bucket
+      dial). Corpus text crosses the wire twice — the price of a dup
+      set too big for any worker's heap.
+
+    64-bit line hashes stand in for (source, line) equality on both
+    paths — a collision (~2^-63 per distinct-line pair) could drop one
+    extra line; the oracle compare at test scale proves none occur
+    there."""
+    import ray
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def hash_pairs(batch: pa.Table) -> pa.Table:
+        out_h, out_d = [], []
+        for did, src, text in zip(batch.column("doc_id").to_pylist(),
+                                  batch.column("source").to_pylist(),
+                                  batch.column("text").to_pylist()):
+            for ln in set(_split_lines(text)):  # per-doc distinct
+                out_h.append(_line_hash(src, ln))
+                out_d.append(did)
+        h = np.asarray(out_h, dtype=np.int64)
+        return pa.table({
+            "lh": pa.array(h, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "bucket": pa.array((h % num_buckets).astype(np.int32),
+                               pa.int32()),
+        })
+
+    def dup_hashes(group: pd.DataFrame) -> pd.DataFrame:
+        counts = group.groupby("lh", sort=False)["doc_id"].nunique()
+        return pd.DataFrame({
+            "lh": counts.index[counts >= LINE_MIN_DOCS].to_numpy(np.int64)})
+
+    dup = (
+        docs.map_batches(hash_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dup_hashes, batch_format="pandas")
+        .materialize()
+    )
+
+    if dup.count() <= broadcast_max:
+        # ---- broadcast plan: corpus pass is map-only ----
+        blocks = ray.get(dup.to_arrow_refs())  # small side, block-wise
+        dup_arr = (np.concatenate(
+            [b.column("lh").to_numpy(zero_copy_only=False) for b in blocks])
+            if blocks else np.empty(0, np.int64))
+        dup_ref = ray.put(np.sort(dup_arr))
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            dups = ray.get(dup_ref)
+            ids, texts = [], []
+            for did, src, text in zip(
+                    batch.column("doc_id").to_pylist(),
+                    batch.column("source").to_pylist(),
+                    batch.column("text").to_pylist()):
+                lines = _split_lines(text)
+                lh = np.fromiter((_line_hash(src, ln) for ln in lines),
+                                 dtype=np.int64, count=len(lines))
+                keep = ~np.isin(lh, dups, assume_unique=False)
+                if keep.any():
+                    ids.append(did)
+                    texts.append(" ".join(
+                        ln for ln, k in zip(lines, keep) if k))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            })
+
+        return docs.map_batches(scrub, batch_format="pyarrow")
+
+    # ---- anti-join plan: dup table too big to broadcast ----
+    from pd3f_ray.pipelines.joins import anti_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "line_no": [], "line": [], "lh": []}
+        for did, src, text in zip(batch.column("doc_id").to_pylist(),
+                                  batch.column("source").to_pylist(),
+                                  batch.column("text").to_pylist()):
+            for i, ln in enumerate(_split_lines(text)):
+                out["doc_id"].append(did)
+                out["line_no"].append(i)
+                out["line"].append(ln)
+                out["lh"].append(_line_hash(src, ln))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "line_no": pa.array(out["line_no"], pa.int32()),
+            "line": pa.array(out["line"], pa.string()),
+            "lh": pa.array(out["lh"], pa.int64()),
+        })
+
+    line_schema = pa.schema([
+        ("doc_id", pa.int64()), ("line_no", pa.int32()),
+        ("line", pa.string()), ("lh", pa.int64()),
+    ])
+    kept = anti_join(
+        docs.map_batches(explode, batch_format="pyarrow"), dup,
+        "lh", "lh", num_buckets=num_buckets, left_schema=line_schema,
+    )
+
+    def add_dbucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dbucket", pa.array((d % num_buckets).astype(np.int32),
+                                pa.int32()))
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["doc_id", "line_no"], kind="mergesort")
+        agg = g.groupby("doc_id", sort=True)["line"].agg(" ".join)
+        return pd.DataFrame({"doc_id": agg.index.to_numpy(np.int64),
+                             "text": agg.to_numpy(object)})
+
+    return (
+        kept.map_batches(add_dbucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+),
+tl AS (
+  SELECT doc_id, source, unnest(ts) AS tok,
+         generate_subscripts(ts, 1) AS i
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, source, (i - 1) // {LINE_TOKENS} AS line_no,
+         string_agg(tok, ' ' ORDER BY i) AS line
+  FROM tl GROUP BY doc_id, source, (i - 1) // {LINE_TOKENS}
+),
+dup AS (
+  SELECT source, line FROM lines
+  GROUP BY source, line
+  HAVING COUNT(DISTINCT doc_id) >= {LINE_MIN_DOCS}
+),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM lines l LEFT JOIN dup d
+    ON l.source = d.source AND l.line = d.line
+  WHERE d.line IS NULL
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512       # tokens per packed training sequence
+PACK_BUCKET_DOCS = 1024  # doc-ids per packing partition
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
+                   bucket_docs: int = PACK_BUCKET_DOCS):
+    """Greedy fixed-token-budget sequence packing — the
+    pre-tokenization batching step of a training pipeline: documents
+    are packed in doc_id order into sequences of ≤ ``budget`` tokens;
+    a document never splits across sequences; a document longer than
+    the budget gets a sequence of its own.
+
+    Partitioning: packing runs independently per doc-id range bucket
+    (``doc_id // bucket_docs``) — groups hold ≤ ``bucket_docs``
+    documents BY CONSTRUCTION (id ranges, not hash), so the greedy scan
+    is bounded and the result is deterministic and
+    parallelism-independent. Sequence ids are globally unique:
+    ``bucket * bucket_docs + local_seq`` (a bucket cannot produce more
+    sequences than documents). Output one row per sequence:
+    (seq_id, n_docs, n_tokens). Greedy reset-cumsum is not one SQL
+    pass — rows-only check; property tests pin budget-respect, no-split,
+    greedy minimality, and determinism."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pa.array(
+            [t.count(" ") + 1 for t in batch.column("text").to_pylist()],
+            pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": toks,
+            "packb": pa.array((d // bucket_docs).astype(np.int64),
+                              pa.int64()),
+        })
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id", kind="mergesort")
+        bucket = int(g["packb"].iloc[0])
+        seqs, docs_in, toks_in = [], 0, 0
+        seq_no = -1
+        out_docs, out_toks = [], []
+        for n in g["n_tokens"].to_numpy(np.int64):
+            if seq_no < 0 or toks_in + n > budget:
+                if seq_no >= 0:
+                    out_docs.append(docs_in)
+                    out_toks.append(toks_in)
+                seq_no += 1
+                docs_in, toks_in = 0, 0
+            docs_in += 1
+            toks_in += int(n)
+        if seq_no >= 0:
+            out_docs.append(docs_in)
+            out_toks.append(toks_in)
+        base = bucket * bucket_docs
+        return pd.DataFrame({
+            "seq_id": np.arange(base, base + len(out_docs), dtype=np.int64),
+            "n_docs": np.asarray(out_docs, np.int64),
+            "n_tokens": np.asarray(out_toks, np.int64),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("packb")
+        .map_groups(pack, batch_format="pandas")
+    )

@@ -80,6 +80,17 @@ ALLOWED_MAP_GROUPS = {
     # windows.py groups via _bucketed() (user_id % 256) — the groupby
     # call is split from .map_groups, outside this regex's view
     ("pages.py", '"bucket"'): "url-hash bucket, count is a dial",
+    ("webcurate.py", '"source"'):
+        "input is the per-(source, lang) aggregate table — groups are "
+        "bounded by language cardinality, not corpus size",
+    ("webcurate.py", '"bucket"'):
+        "line-hash bucket over hash+doc_id pairs, count is a dial",
+    ("webcurate.py", '"dbucket"'):
+        "doc-id reassembly bucket on the anti-join scale path, count "
+        "is a dial",
+    ("webcurate.py", '"packb"'):
+        "doc_id // PACK_BUCKET_DOCS range bucket — ≤ bucket_docs rows "
+        "per group by construction",
 }
 
 
