@@ -142,6 +142,12 @@ def _q_pages_roundtrip(sf_dir: str):
     return pages_roundtrip(sf_dir)
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    from pd3f_ray.sources.jsonl import jsonl_roundtrip
+
+    return jsonl_roundtrip(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         curation,
@@ -240,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_roundtrip": webcurate.pii_roundtrip,
         "line_dedup_docs": webcurate.line_dedup_docs,
         "pack_sequences": webcurate.pack_sequences,  # greedy → rows-only
+        # JSONL sink+source interop roundtrip (oracle-checked lossless)
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
 
 
@@ -262,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         PAGES_ROUNDTRIP_SQL,
     )
     from pd3f_ray.pipelines.webtext import HTML_ROUNDTRIP_SQL
+    from pd3f_ray.sources.jsonl import JSONL_ROUNDTRIP_SQL
 
     return {
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
@@ -303,4 +312,5 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": webcurate.GOPHER_QUALITY_SQL,
         "pii_roundtrip": webcurate.PII_ROUNDTRIP_SQL,
         "line_dedup_docs": webcurate.LINE_DEDUP_SQL,
+        "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     }

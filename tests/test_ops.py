@@ -619,3 +619,12 @@ def test_hll_agg_matches_map_groups_form(ray_session):
     for et in a.index:
         assert a.loc[et, "n_users_approx"] == b.loc[et, "n_users_approx"], et
     assert (b["n_events"] > 0).all()
+
+
+def test_jsonl_roundtrip_oracle(ray_session, con):
+    """JSONL sink+source interop: documents -> write_json shards ->
+    read_json + post-parse pruning must be lossless for int64 + UTF-8
+    string columns (oracle = the parquet table itself)."""
+    from pd3f_ray.sources.jsonl import JSONL_ROUNDTRIP_SQL, jsonl_roundtrip
+
+    _match(jsonl_roundtrip(SF), JSONL_ROUNDTRIP_SQL, con)
