@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         embed,
+        indexing,
         joins,
         multimodal,
         relational,
@@ -201,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": windows.user_sessions,
         "purchase_attribution": windows.purchase_attribution,
         "events_sliding": windows.events_sliding,
+        "latest_event_per_user": windows.latest_event_per_user,
+        "user_running_total": windows.user_running_total,
         # dedup family
         "curate_docs": curation.curate_docs,
         "curate_neardup": curation.curate_neardup,
@@ -225,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textstats.stratified_sample,
         "top_tokens": textstats.top_tokens,
         "top_tokens_per_lang": textstats.top_tokens_per_lang,
+        # corpus indexing (inverted index + tf-idf term weighting)
+        "token_postings": indexing.token_postings,
+        "tfidf_terms": indexing.tfidf_terms,
         # embedding generation (actor-pool inference shape; rows-only)
         "embed_docs": embed.embed_docs_flat,
         # cardinality sketches
@@ -246,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_roundtrip": webcurate.pii_roundtrip,
         "line_dedup_docs": webcurate.line_dedup_docs,
         "pack_sequences": webcurate.pack_sequences,  # greedy → rows-only
+        "balanced_mixture": webcurate.balanced_mixture,
         # JSONL sink+source interop roundtrip (oracle-checked lossless)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
@@ -255,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
     from pd3f_ray.pipelines import (
         curation,
         dedup,
+        indexing,
         joins,
         multimodal,
         relational,
@@ -287,6 +295,8 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
         "events_sliding": windows.EVENTS_SLIDING_SQL,
+        "latest_event_per_user": windows.LATEST_EVENT_SQL,
+        "user_running_total": windows.RUNNING_TOTAL_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
         "curate_neardup": curation.CURATE_NEARDUP_SQL,
         "decontaminate_docs": curation.DECONTAMINATE_SQL,
@@ -305,6 +315,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": textstats.stratified_sample_sql(),
         "top_tokens": textstats.top_tokens_sql(),
         "top_tokens_per_lang": textstats.top_tokens_per_lang_sql(),
+        "token_postings": indexing.TOKEN_POSTINGS_SQL,
+        "tfidf_terms": indexing.TFIDF_TERMS_SQL,
         "knn_bruteforce": similarity.knn_sql(),
         "distinct_users": sketches.DISTINCT_USERS_SQL,
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,
@@ -312,5 +324,6 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": webcurate.GOPHER_QUALITY_SQL,
         "pii_roundtrip": webcurate.PII_ROUNDTRIP_SQL,
         "line_dedup_docs": webcurate.LINE_DEDUP_SQL,
+        "balanced_mixture": webcurate.BALANCED_MIXTURE_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     }

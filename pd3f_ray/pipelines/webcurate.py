@@ -502,3 +502,107 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
         .groupby("packb")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# balanced mixture sampling (derived per-language rates)
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_FRACTION = 0.25  # total kept budget as a fraction of the corpus
+
+
+def balanced_mixture(sf_dir: str, budget_fraction: float = MIX_BUDGET_FRACTION):
+    """Mixture rebalancing: sample the corpus down to a *uniform
+    per-language budget* — each language's keep-rate is DERIVED from
+    its observed count so every language contributes ≈ N·F/L documents
+    (languages smaller than their share are kept whole via the
+    min(1, ·) cap, as in data-mixture curation à la DoReMi/CCNet
+    re-balancing, but with deterministic hash sampling instead of RNG).
+
+    Plan: per-language counts via one partial-combined aggregate
+    exchange (L rows); the tiny count table is fetched block-wise (the
+    justified small-side driver read, same class as the joins
+    broadcast) and turned into per-language keep-rates; the corpus
+    pass is then map-only — keep a document iff the first 8 hex chars
+    of md5(text) are lexicographically below the rate threshold
+    ``printf('%08x', floor(rate · 2^32))``. Fixed-width lowercase hex
+    compares equal to the numeric compare, and both engines compute
+    the threshold from the same double arithmetic, so the driver
+    hash-compare is exact. Output (doc_id, lang)."""
+    import ray
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        langs, counts = np.unique(
+            np.asarray(batch.column("lang").to_pylist(), dtype=object),
+            return_counts=True)
+        return pa.table({
+            "lang": pa.array(list(langs), pa.string()),
+            "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .materialize()
+    )
+    blocks = ray.get(counts.to_arrow_refs())  # L rows — tiny
+    n_by_lang: dict[str, int] = {}
+    for b in blocks:
+        if b.num_rows == 0:  # trailing empty block has an empty schema
+            continue
+        n_by_lang.update(zip(b.column("lang").to_pylist(),
+                             b.column("n").to_pylist()))
+    total = sum(n_by_lang.values())
+    n_langs = len(n_by_lang)
+    # double arithmetic mirrors the SQL expression term for term:
+    # ((total * F) / L) / n
+    thresholds: dict[str, str | None] = {}
+    for lang, n in n_by_lang.items():
+        rate = min(1.0, ((float(total) * budget_fraction) / n_langs) / n)
+        thresholds[lang] = (None if rate >= 1.0
+                            else format(int(np.floor(rate * 4294967296.0)),
+                                        "08x"))
+    thr_ref = ray.put(thresholds)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        from pd3f_ray.functions.textfns import md5_hex
+
+        thr = ray.get(thr_ref)
+        keep = []
+        for lg, text in zip(batch.column("lang").to_pylist(),
+                            batch.column("text").to_pylist()):
+            t = thr[lg]
+            keep.append(t is None or md5_hex(text)[:8] < t)
+        return batch.filter(pa.array(keep, pa.bool_())).select(
+            ["doc_id", "lang"])
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+def balanced_mixture_sql(budget_fraction: float = MIX_BUDGET_FRACTION) -> str:
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS l
+  FROM c
+),
+r AS (
+  SELECT lang, n,
+         LEAST(1.0, ((CAST((SELECT total FROM t) AS DOUBLE)
+                      * {budget_fraction}) / (SELECT l FROM t)) / n) AS rate
+  FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE r.rate >= 1.0
+   OR substring(md5(d.text), 1, 8)
+      < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+"""
+
+
+BALANCED_MIXTURE_SQL = balanced_mixture_sql()

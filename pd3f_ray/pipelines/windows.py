@@ -231,3 +231,82 @@ SELECT event_type, window_id,
        CAST(sum(micros) AS BIGINT) AS sum_value_micros
 FROM exploded GROUP BY event_type, window_id
 """
+
+# ---------------------------------------------------------------------------
+# keep-latest-per-key (snapshot dedup) and running totals
+# ---------------------------------------------------------------------------
+
+
+def latest_event_per_user(sf_dir: str):
+    """Keep each user's latest event — the keep-latest-snapshot dedup
+    every crawl/CDC pipeline needs (e.g. one row per url at the newest
+    warc_ts). Two-level exact plan: a map-side partial keeps one winner
+    per user per BATCH (argmax over (ts, event_id), vectorized), so the
+    exchange carries ≤ one row per (block, user) instead of the event
+    stream; the bucketed reduce re-applies the same argmax. Output
+    (user_id, last_event_id, last_ts, last_event_type)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        return df[~df["user_id"].duplicated(keep="last")]
+
+    partial = ds.map_batches(
+        lambda b: keep_latest(b), batch_format="pandas")
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        out = keep_latest(group.drop(columns=["bucket"]))
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "last_event_id": out["event_id"].to_numpy(np.int64),
+            "last_ts": out["ts"],
+            "last_event_type": out["event_type"].to_numpy(object),
+        })
+
+    return _bucketed(partial).map_groups(resolve, batch_format="pandas")
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id,
+       event_id AS last_event_id,
+       ts AS last_ts,
+       event_type AS last_event_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def user_running_total(sf_dir: str):
+    """Cumulative per-user spend: for every event, the running sum of
+    value over the user's history up to and including it (ordered by
+    (ts, event_id)). The bucketed-shuffle pattern of this module —
+    ONE user-bucket exchange, then a vectorized in-group sort + cumsum
+    per user; sums travel as integer cents so the value-hash compare
+    is exact. Output (event_id, user_id, cum_value_cents)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns=["bucket"]).sort_values(
+            ["user_id", "ts", "event_id"])
+        v = group["value"].to_numpy() * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        cum = (pd.Series(cents).groupby(
+            group["user_id"].to_numpy(), sort=False).cumsum()
+            .to_numpy(np.int64))
+        return pd.DataFrame({
+            "event_id": group["event_id"].to_numpy(np.int64),
+            "user_id": group["user_id"].to_numpy(np.int64),
+            "cum_value_cents": cum,
+        })
+
+    return _bucketed(ds).map_groups(running, batch_format="pandas")
+
+
+RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents
+FROM events
+"""

@@ -628,3 +628,68 @@ def test_jsonl_roundtrip_oracle(ray_session, con):
     from pd3f_ray.sources.jsonl import JSONL_ROUNDTRIP_SQL, jsonl_roundtrip
 
     _match(jsonl_roundtrip(SF), JSONL_ROUNDTRIP_SQL, con)
+
+
+def test_latest_event_per_user_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import (
+        LATEST_EVENT_SQL,
+        latest_event_per_user,
+    )
+
+    _match(latest_event_per_user(SF), LATEST_EVENT_SQL, con)
+
+
+def test_user_running_total_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import (
+        RUNNING_TOTAL_SQL,
+        user_running_total,
+    )
+
+    _match(user_running_total(SF), RUNNING_TOTAL_SQL, con)
+
+
+def test_token_postings_oracle(ray_session, con):
+    from pd3f_ray.pipelines.indexing import TOKEN_POSTINGS_SQL, token_postings
+
+    _match(token_postings(SF), TOKEN_POSTINGS_SQL, con)
+
+
+def test_token_postings_head_exact_across_block_sizes(ray_session):
+    """min-k distributivity: the posting head must be independent of
+    how documents are batched into blocks (k smaller than any block's
+    contribution forces real cross-block merging)."""
+    from pd3f_ray.pipelines.indexing import token_postings
+
+    a = token_postings(SF, k=3).to_pandas().set_index("token")
+    b = token_postings(SF, k=3, num_buckets=7).to_pandas().set_index("token")
+    assert set(a.index) == set(b.index)
+    for t in a.index:
+        assert a.loc[t, "postings"] == b.loc[t, "postings"], t
+        assert a.loc[t, "df"] == b.loc[t, "df"], t
+
+
+def test_tfidf_terms_oracle_both_paths(ray_session, con):
+    from pd3f_ray.pipelines.indexing import TFIDF_TERMS_SQL, tfidf_terms
+
+    # broadcast (default) path
+    _match(tfidf_terms(SF), TFIDF_TERMS_SQL, con)
+    # forced hash-join scale path must produce the identical result
+    _match(tfidf_terms(SF, broadcast_max=0), TFIDF_TERMS_SQL, con)
+
+
+def test_balanced_mixture_oracle_and_rebalance(ray_session, con):
+    from pd3f_ray.pipelines.webcurate import (
+        BALANCED_MIXTURE_SQL,
+        balanced_mixture,
+    )
+
+    ds = balanced_mixture(SF)
+    _match(ds, BALANCED_MIXTURE_SQL, con)
+    # the derived rates must actually rebalance: no language may keep
+    # more than ~2x the uniform per-language budget
+    kept = balanced_mixture(SF).to_pandas()["lang"].value_counts()
+    total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    n_langs = con.execute(
+        "SELECT count(DISTINCT lang) FROM documents").fetchone()[0]
+    budget = total * 0.25 / n_langs
+    assert (kept <= 2 * budget).all()

@@ -91,6 +91,12 @@ ALLOWED_MAP_GROUPS = {
     ("webcurate.py", '"packb"'):
         "doc_id // PACK_BUCKET_DOCS range bucket — ≤ bucket_docs rows "
         "per group by construction",
+    ("indexing.py", '"ibucket"'):
+        "token-hash bucket over per-(block, token) partial rows (count "
+        "+ min-k posting head), never raw pairs; bucket count is a dial",
+    ("indexing.py", '"tbucket"'):
+        "doc-id bucket on the tfidf join path; per-doc rows are the "
+        "doc's distinct tokens, bucket count is a dial",
 }
 
 
