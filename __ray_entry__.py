@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         similarity,
         sketches,
+        spandedup,
         textstats,
         webcurate,
         webtext,
@@ -218,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embdup_cosine": dedup.embdup_cosine,
         "embdup_lsh": dedup.embdup_lsh,            # approximate → rows-only
         "dedup_clusters": dedup.dedup_clusters,
+        # exact substring (span) dedup — Lee et al. 2022 family
+        "dup_span_stats": spandedup.dup_span_stats,
+        "strip_dup_spans": spandedup.strip_dup_spans,
         # text analysis
         "token_stats": textstats.token_stats,
         "token_count_regex": textstats.token_count_regex,
@@ -268,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         relational,
         similarity,
         sketches,
+        spandedup,
         textstats,
         webcurate,
         windows,
@@ -305,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),
+        "dup_span_stats": spandedup.DUP_SPAN_STATS_SQL,
+        "strip_dup_spans": spandedup.STRIP_DUP_SPANS_SQL,
         "embdup_cosine": dedup.EMBDUP_COSINE_SQL,
         "token_stats": textstats.TOKEN_STATS_SQL,
         "token_count_regex": textstats.TOKEN_COUNT_REGEX_SQL,

@@ -228,3 +228,22 @@ def band_hashes(sigs: np.ndarray, num_bands: int) -> np.ndarray:
     for k in range(r):
         acc = mix64(acc ^ (chunks[:, :, k] * _GOLDEN + np.uint64(k + 1)))
     return acc
+
+
+def shingle_hash_positions(toks: list[str], k: int) -> np.ndarray:
+    """Positional hashed k-token shingles: element i is the hash of
+    ``toks[i:i+k]`` (the same order-sensitive splitmix64 fold as
+    ``word_shingles``, kept positional instead of set-collapsed).
+    Length ``max(0, len(toks) - k + 1)`` — shorter texts yield no
+    shingle, matching the SQL oracle's empty generate_series."""
+    n = len(toks)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter((token_hash(t) for t in toks), dtype=np.uint64,
+                     count=n)
+    n_sh = n - k + 1
+    acc = th[:n_sh].copy()
+    for j in range(1, k):
+        acc ^= th[j : n_sh + j] * _GOLDEN
+        acc = mix64(acc)
+    return acc

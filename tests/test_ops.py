@@ -693,3 +693,51 @@ def test_balanced_mixture_oracle_and_rebalance(ray_session, con):
         "SELECT count(DISTINCT lang) FROM documents").fetchone()[0]
     budget = total * 0.25 / n_langs
     assert (kept <= 2 * budget).all()
+
+
+def test_dup_span_stats_oracle_both_paths(ray_session, con):
+    from pd3f_ray.pipelines.spandedup import (
+        DUP_SPAN_STATS_SQL,
+        dup_span_stats,
+    )
+
+    _match(dup_span_stats(SF), DUP_SPAN_STATS_SQL, con)
+    _match(dup_span_stats(SF, broadcast_max=0), DUP_SPAN_STATS_SQL, con)
+
+
+def test_strip_dup_spans_oracle_both_paths(ray_session, con):
+    from pd3f_ray.pipelines.spandedup import (
+        STRIP_DUP_SPANS_SQL,
+        strip_dup_spans,
+    )
+
+    _match(strip_dup_spans(SF), STRIP_DUP_SPANS_SQL, con)
+    _match(strip_dup_spans(SF, broadcast_max=0), STRIP_DUP_SPANS_SQL, con)
+
+
+def test_strip_dup_spans_removes_injected_duplicate(ray_session, tmp_path):
+    """A span planted verbatim in two documents must vanish from both,
+    while each document's unique remainder survives untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = " ".join(f"dupword{i}" for i in range(8))
+    uniq_a = " ".join(f"alpha{i}" for i in range(10))
+    uniq_b = " ".join(f"beta{i}" for i in range(10))
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"{uniq_a} {span}", f"{span} {uniq_b}",
+                          "solo doc with no duplicated content at all"]),
+    })
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    from pd3f_ray.pipelines.spandedup import strip_dup_spans
+
+    out = {r["doc_id"]: r["text"]
+           for r in strip_dup_spans(str(d)).to_pandas().to_dict("records")}
+    assert "dupword0" not in out[1] and "dupword0" not in out[2]
+    assert out[1] == uniq_a
+    assert out[2] == uniq_b
+    assert out[3] == "solo doc with no duplicated content at all"

@@ -97,6 +97,11 @@ ALLOWED_MAP_GROUPS = {
     ("indexing.py", '"tbucket"'):
         "doc-id bucket on the tfidf join path; per-doc rows are the "
         "doc's distinct tokens, bucket count is a dial",
+    ("spandedup.py", '"sbucket"'):
+        "shingle-hash bucket over (hash, doc_id) pairs, count is a dial",
+    ("spandedup.py", '"dbucket"'):
+        "doc-id reassembly bucket on the union-join scale path, count "
+        "is a dial",
 }
 
 
