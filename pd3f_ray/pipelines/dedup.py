@@ -681,7 +681,10 @@ def _cc_local(edges_mat):
 
     @ray.remote
     def _uf(*tables):
-        tbl = pa.concat_tables(tables)
+        tables = [t for t in tables if t.num_rows]  # skip empty-schema blocks
+        tbl = (pa.concat_tables(tables) if tables
+               else pa.table({"node": pa.array([], pa.int64()),
+                              "peer": pa.array([], pa.int64())}))
         node = tbl.column("node").to_numpy(zero_copy_only=False)
         peer = tbl.column("peer").to_numpy(zero_copy_only=False)
         if len(node) == 0:
@@ -721,6 +724,8 @@ def _mat_label_sum(labels_mat) -> int:
     def _block_sum(tbl: pa.Table) -> int:
         import pyarrow.compute as pc
 
+        if tbl.num_rows == 0:  # trailing empty block has an empty schema
+            return 0
         s = pc.sum(tbl.column("label")).as_py()
         return int(s) if s is not None else 0
 

@@ -225,6 +225,8 @@ def tfidf_terms(sf_dir: str, k: int = TFIDF_K,
         blocks = ray.get(df_tbl.to_arrow_refs())  # small side, block-wise
         df_map: dict[str, int] = {}
         for b in blocks:
+            if b.num_rows == 0:  # trailing empty block, empty schema
+                continue
             df_map.update(zip(b.column("token").to_pylist(),
                               b.column("df").to_pylist()))
         df_ref = ray.put(df_map)

@@ -327,9 +327,10 @@ def line_dedup_docs(sf_dir: str, broadcast_max: int = LINE_BROADCAST_MAX,
     if dup.count() <= broadcast_max:
         # ---- broadcast plan: corpus pass is map-only ----
         blocks = ray.get(dup.to_arrow_refs())  # small side, block-wise
-        dup_arr = (np.concatenate(
-            [b.column("lh").to_numpy(zero_copy_only=False) for b in blocks])
-            if blocks else np.empty(0, np.int64))
+        parts = [b.column("lh").to_numpy(zero_copy_only=False)
+                 for b in blocks if b.num_rows]  # skip empty-schema blocks
+        dup_arr = (np.concatenate(parts) if parts
+                   else np.empty(0, np.int64))
         dup_ref = ray.put(np.sort(dup_arr))
 
         def scrub(batch: pa.Table) -> pa.Table:
