@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full HTML page with injected nav/sidebar/footer; the
         # main-content stage must return the body text byte-identical
         "html_roundtrip": webtext.html_roundtrip,
+        # oracle-CHECKED outlink extraction (link-graph edge list)
+        "html_links": webtext.html_links,
         # relational / wide ops (oracle-checked)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -282,13 +284,14 @@ def oracle_sql() -> dict[str, str]:
         EXTRACT_ROUNDTRIP_SQL,
         PAGES_ROUNDTRIP_SQL,
     )
-    from pd3f_ray.pipelines.webtext import HTML_ROUNDTRIP_SQL
+    from pd3f_ray.pipelines.webtext import HTML_LINKS_SQL, HTML_ROUNDTRIP_SQL
     from pd3f_ray.sources.jsonl import JSONL_ROUNDTRIP_SQL
 
     return {
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
         "pages_roundtrip": PAGES_ROUNDTRIP_SQL,
         "html_roundtrip": HTML_ROUNDTRIP_SQL,
+        "html_links": HTML_LINKS_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,

@@ -92,3 +92,70 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        text
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction roundtrip
+# ---------------------------------------------------------------------------
+
+
+def html_links(sf_dir: str):
+    """Outlink-table extraction through the real ``LinkExtractor``
+    stage: each document is wrapped in the boilerplate page plus one
+    injected per-document content link (``/doc/<id>``); the stage must
+    recover every anchor of every page with exact href, anchor text
+    and document-order position. Output (url, pos, href, anchor);
+    oracle = the statically known boilerplate links cross-joined with
+    documents, plus the computed content link at position 3."""
+    from pd3f_ray.stages.htmlmain import LinkExtractor
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        pages = []
+        for d, t in zip(ids, texts):
+            page = wrap_in_boilerplate(t)
+            marker = '<div id="main">'
+            link = f'<a href="/doc/{d}">ref {d}</a>'
+            pages.append(page.replace(marker, marker + link, 1).encode())
+        return pa.table({
+            "url": pa.array([f"doc://{d}" for d in ids], pa.string()),
+            "html": pa.array(pages, pa.binary()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    links = ds.map_batches(wrap, batch_format="pyarrow").map_batches(
+        LinkExtractor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=4,
+        num_cpus=0.75,
+    )
+    return links.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "pos": b.column("rank"),
+                            "href": b.column("href"),
+                            "anchor": b.column("anchor")}),
+        batch_format="pyarrow",
+    )
+
+
+HTML_LINKS_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       v.pos,
+       CASE v.pos WHEN 3 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+            ELSE v.href END AS href,
+       CASE v.pos WHEN 3 THEN 'ref ' || CAST(doc_id AS VARCHAR)
+            ELSE v.anchor END AS anchor
+FROM documents,
+     (VALUES (CAST(0 AS BIGINT), '/', 'Home'),
+             (1, '/about', 'About'),
+             (2, '/contact', 'Contact'),
+             (3, '', ''),
+             (4, '/r/1', 'Related article one'),
+             (5, '/r/2', 'Related article two'),
+             (6, '/r/3', 'More related links here'),
+             (7, '/privacy', 'Privacy'),
+             (8, '/terms', 'Terms')) v(pos, href, anchor)
+"""

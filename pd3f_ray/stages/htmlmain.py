@@ -151,3 +151,74 @@ class HtmlMainExtractor:
                 "n_main_blocks": pa.array(n_main, pa.int32()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction
+# ---------------------------------------------------------------------------
+
+
+class _LinkParser(HTMLParser):
+    """Collect (href, anchor-text) pairs in document order."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._anchor: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            if self._href is not None:  # nested <a> — flush the outer
+                self._flush_link()
+            self._href = dict(attrs).get("href", "")
+            self._anchor = []
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._href is not None:
+            self._flush_link()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._anchor.append(data)
+
+    def _flush_link(self):
+        self.links.append((self._href, "".join(self._anchor).strip()))
+        self._href, self._anchor = None, []
+
+    def close(self):
+        if self._href is not None:  # unclosed trailing <a>
+            self._flush_link()
+        super().close()
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """All (href, anchor_text) pairs of a page, in document order."""
+    p = _LinkParser()
+    p.feed(html)
+    p.close()
+    return p.links
+
+
+class LinkExtractor:
+    """Actor-pool stage: (url, html:binary) → exploded outlink table
+    (url, rank, href, anchor) — the link-graph edge list a crawl
+    pipeline feeds into PageRank / seed-expansion. Stateless parse but
+    hosted like ``HtmlMainExtractor`` so the two share pool sizing."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, ranks, hrefs, anchors = [], [], [], []
+        for url, raw in zip(batch.column("url").to_pylist(),
+                            batch.column("html").to_pylist()):
+            html = raw.decode("utf-8", errors="replace")
+            for i, (href, anchor) in enumerate(extract_links(html)):
+                urls.append(url)
+                ranks.append(i)
+                hrefs.append(href)
+                anchors.append(anchor)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "href": pa.array(hrefs, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+        })

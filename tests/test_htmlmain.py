@@ -111,3 +111,35 @@ def test_extractor_stage_handles_bytes_and_garbage(ray_session):
     assert len(out) == 3
     assert "good long paragraph" in out.iloc[0]["text"]
     assert out.iloc[2]["text"] == ""
+
+
+def test_extract_links_order_and_nesting():
+    from pd3f_ray.stages.htmlmain import extract_links
+
+    html = ('<body><a href="/a">first</a> text '
+            '<div><a href="/b">sec<b>ond</b></a></div>'
+            '<a href="/c"></a><a href="/d">tail')
+    assert extract_links(html) == [
+        ("/a", "first"), ("/b", "second"), ("/c", ""), ("/d", "tail")]
+
+
+def test_html_links_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from pd3f_ray.pipelines.webtext import HTML_LINKS_SQL, html_links
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')")
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    got = canon(html_links(sf).to_pandas())
+    want = canon(con.execute(HTML_LINKS_SQL).df())
+    want = want.astype(got.dtypes.to_dict(), errors="ignore")
+    pd.testing.assert_frame_equal(got, want)
