@@ -85,16 +85,24 @@ def _q_extract_pages(sf_dir: str):
 
 def _q_extract_summary(sf_dir: str):
     """Per-language extraction metrics (streaming aggregate over the
-    extraction output; no full materialization)."""
+    extraction output; no full materialization).
+
+    Deliberately NOT ``groupby("lang").aggregate(...)``: groupby's key
+    validation fetches the dataset schema, which executes the upstream
+    actor-pool extraction once for the first block just to learn dtypes
+    (measured 4.4 s at sf0.1) before the real run re-executes it — the
+    same ``.schema()`` re-execution trap the joins module documents.
+    Instead each batch is pre-aggregated map-side into per-(block,
+    lang) partial rows and the tiny partial table is combined in one
+    task behind a probe-free ``repartition(1)``."""
     import pyarrow as pa
-    from ray.data.aggregate import Count, Sum
 
     ds = _q_extract_docs(sf_dir)
 
-    def flags(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return pa.table(
+        t = pa.table(
             {
                 "lang": batch.column("lang"),
                 "n_chars": batch.column("n_chars"),
@@ -103,17 +111,22 @@ def _q_extract_summary(sf_dir: str):
                 ),
             }
         )
-
-    out = (
-        ds.map_batches(flags, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="sum_chars"),
-            Sum("is_error", alias_name="n_errors"),
+        g = t.group_by("lang").aggregate(
+            [("lang", "count"), ("n_chars", "sum"), ("is_error", "sum")]
         )
+        return g.rename_columns(["lang", "n_docs", "sum_chars", "n_errors"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate(
+            [("n_docs", "sum"), ("sum_chars", "sum"), ("n_errors", "sum")]
+        )
+        return g.rename_columns(["lang", "n_docs", "sum_chars", "n_errors"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
-    return out
 
 
 def _q_extract_markdown(sf_dir: str):
