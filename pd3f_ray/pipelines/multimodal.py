@@ -27,7 +27,6 @@ import os
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 KINDS = ("image", "audio", "video")
 
@@ -242,16 +241,27 @@ def media_kind_summary(sf_dir: str) -> "rd.Dataset":
     round-trip through the actor pool intact."""
     feats = media_features(sf_dir)
 
-    def project(batch: pa.Table) -> pa.Table:
-        return batch.select(["kind", "n_bytes"])
+    # map-side pyarrow partials + probe-free repartition(1) combine
+    # instead of groupby: groupby's key validation fetches the schema,
+    # which spins the featurizer actor pool once for the first block
+    # before the real run (the .schema() re-execution trap — see
+    # joins.py and __ray_entry__._q_extract_summary)
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["kind", "n_bytes"]).group_by("kind").aggregate(
+            [("kind", "count"), ("n_bytes", "sum")]
+        )
+        return g.rename_columns(["kind", "n_media", "sum_bytes"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("kind").aggregate(
+            [("n_media", "sum"), ("sum_bytes", "sum")]
+        )
+        return g.rename_columns(["kind", "n_media", "sum_bytes"])
 
     return (
-        feats.map_batches(project, batch_format="pyarrow")
-        .groupby("kind")
-        .aggregate(
-            Count(alias_name="n_media"),
-            Sum("n_bytes", alias_name="sum_bytes"),
-        )
+        feats.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
 
 
