@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         embed,
+        graph,
         indexing,
         joins,
         multimodal,
@@ -214,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (broadcast + bucketed hash join)
         "nation_revenue": joins.nation_revenue,
         "supplier_part_join": joins.supplier_part_join,
+        # graph analytics (integer PageRank, exact vs unrolled SQL)
+        "pagerank": graph.pagerank,
         # windowed / order-dependent (bucketed shuffle + in-group sort)
         "user_sessions": windows.user_sessions,
         "purchase_attribution": windows.purchase_attribution,
@@ -281,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
     from pd3f_ray.pipelines import (
         curation,
         dedup,
+        graph,
         indexing,
         joins,
         multimodal,
@@ -313,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
+        "pagerank": graph.PAGERANK_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
         "events_sliding": windows.EVENTS_SLIDING_SQL,

@@ -741,3 +741,24 @@ def test_strip_dup_spans_removes_injected_duplicate(ray_session, tmp_path):
     assert out[1] == uniq_a
     assert out[2] == uniq_b
     assert out[3] == "solo doc with no duplicated content at all"
+
+
+def test_pagerank_oracle_both_paths(ray_session, con):
+    from pd3f_ray.pipelines.graph import PAGERANK_SQL, pagerank
+
+    # broadcast (default) rank routing
+    _match(pagerank(SF), PAGERANK_SQL, con)
+    # forced per-iteration hash_join scale path
+    _match(pagerank(SF, broadcast_max=0), PAGERANK_SQL, con)
+
+
+def test_pagerank_mass_and_kinds(ray_session, con):
+    """Sanity: both partitions present; the damped update keeps every
+    rank above the base floor; hub suppliers outrank leaf customers."""
+    from pd3f_ray.pipelines.graph import PR_BASE, pagerank
+
+    df = pagerank(SF).to_pandas()
+    assert set(df["kind"]) == {"customer", "supplier"}
+    assert (df["rank_micros"] >= PR_BASE).all()
+    assert (df[df["kind"] == "supplier"]["rank_micros"].mean()
+            > df[df["kind"] == "customer"]["rank_micros"].mean())

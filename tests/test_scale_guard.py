@@ -102,6 +102,12 @@ ALLOWED_MAP_GROUPS = {
     ("spandedup.py", '"dbucket"'):
         "doc-id reassembly bucket on the union-join scale path, count "
         "is a dial",
+    ("graph.py", '"gbucket"'):
+        "src-hash bucket; a node's full edge set lands in one group "
+        "(needed for exact outdegree), bucket count is a dial",
+    ("graph.py", '"nbucket"'):
+        "node-hash bucket over per-(block, dst) partial contribution "
+        "sums, not raw edges; bucket count is a dial",
 }
 
 
