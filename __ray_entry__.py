@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": relational.segment_order_stats,
         "events_hourly": relational.events_hourly,
         "event_value_quantiles": relational.event_value_quantiles,
+        "event_value_histogram": relational.event_value_histogram,
         "customer_order_counts": relational.customer_order_counts,
         # joins (broadcast + bucketed hash join)
         "nation_revenue": joins.nation_revenue,
@@ -275,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": webcurate.line_dedup_docs,
         "pack_sequences": webcurate.pack_sequences,  # greedy → rows-only
         "balanced_mixture": webcurate.balanced_mixture,
+        "shuffle_assignment": webcurate.shuffle_assignment,
         # JSONL sink+source interop roundtrip (oracle-checked lossless)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
@@ -314,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
+        "event_value_histogram": relational.EVENT_VALUE_HISTOGRAM_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
@@ -353,5 +356,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_roundtrip": webcurate.PII_ROUNDTRIP_SQL,
         "line_dedup_docs": webcurate.LINE_DEDUP_SQL,
         "balanced_mixture": webcurate.BALANCED_MIXTURE_SQL,
+        "shuffle_assignment": webcurate.SHUFFLE_ASSIGNMENT_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     }

@@ -445,3 +445,45 @@ FROM (
 )
 GROUP BY n_orders
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-width value histogram
+# ---------------------------------------------------------------------------
+
+HIST_BIN_WIDTH = 10.0
+
+
+def event_value_histogram(sf_dir: str):
+    """Fixed-width value histogram per event type: bin = floor(value /
+    width). Map-side pyarrow partial aggregation per batch, then one
+    tiny groupby over (type, bin) partials — the distribution-profile
+    op every ingest pipeline runs before choosing quantile cut points.
+    Output (event_type, bin, n)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "bin": pa.array(np.floor(v / HIST_BIN_WIDTH).astype(np.int64),
+                            pa.int64()),
+        })
+        g = t.group_by(["event_type", "bin"]).aggregate([("bin", "count")])
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+EVENT_VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, bin
+"""

@@ -607,3 +607,68 @@ WHERE r.rate >= 1.0
 
 
 BALANCED_MIXTURE_SQL = balanced_mixture_sql()
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-shuffle assignment
+# ---------------------------------------------------------------------------
+
+SHUF_SHARDS = 16
+
+
+def shuffle_assignment(sf_dir: str, num_shards: int = SHUF_SHARDS):
+    """Deterministic global shuffle for training ingest: each document
+    is assigned a shard (md5-hash partition — decorrelated from
+    doc_id/source order) and a position within the shard (rank by the
+    md5 hex digest, doc_id tiebreak). The standard scale trick: ONE
+    shard-bucketed exchange + an in-group sort of hash keys replaces a
+    full random_shuffle; readers then stream shards in position order
+    and see a reproducible pseudo-random document order. Output
+    (doc_id, shard, pos)."""
+    from pd3f_ray.functions.textfns import md5_hex
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        digests = [md5_hex(t) for t in batch.column("text").to_pylist()]
+        # shard = first hex digit of the digest (16 shards — the value
+        # a strpos() can recover in the SQL oracle without hex casts)
+        shards = np.asarray([int(d[0], 16) % num_shards for d in digests],
+                            dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shard": pa.array(shards, pa.int64()),
+            "sortkey": pa.array(digests, pa.string()),
+        })
+
+    def number(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sortkey", "doc_id"], kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "shard": g["shard"].to_numpy(np.int64),
+            "pos": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return (
+        docs.map_batches(key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(number, batch_format="pandas")
+    )
+
+
+def shuffle_assignment_sql(num_shards: int = SHUF_SHARDS) -> str:
+    return f"""
+SELECT doc_id,
+       CAST((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1)
+            % {num_shards} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY (strpos('0123456789abcdef',
+                                 substring(md5(text), 1, 1)) - 1)
+                         % {num_shards}
+            ORDER BY md5(text), doc_id) AS BIGINT) AS pos
+FROM documents
+"""
+
+
+SHUFFLE_ASSIGNMENT_SQL = shuffle_assignment_sql()

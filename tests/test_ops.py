@@ -762,3 +762,26 @@ def test_pagerank_mass_and_kinds(ray_session, con):
     assert (df["rank_micros"] >= PR_BASE).all()
     assert (df[df["kind"] == "supplier"]["rank_micros"].mean()
             > df[df["kind"] == "customer"]["rank_micros"].mean())
+
+
+def test_event_value_histogram_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        EVENT_VALUE_HISTOGRAM_SQL,
+        event_value_histogram,
+    )
+
+    _match(event_value_histogram(SF), EVENT_VALUE_HISTOGRAM_SQL, con)
+
+
+def test_shuffle_assignment_oracle_and_coverage(ray_session, con):
+    from pd3f_ray.pipelines.webcurate import (
+        SHUFFLE_ASSIGNMENT_SQL,
+        shuffle_assignment,
+    )
+
+    _match(shuffle_assignment(SF), SHUFFLE_ASSIGNMENT_SQL, con)
+    df = shuffle_assignment(SF).to_pandas()
+    # every document exactly once; positions are 1..len(shard) dense
+    assert df["doc_id"].is_unique
+    for _, sub in df.groupby("shard"):
+        assert sorted(sub["pos"]) == list(range(1, len(sub) + 1))

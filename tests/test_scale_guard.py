@@ -108,6 +108,9 @@ ALLOWED_MAP_GROUPS = {
     ("graph.py", '"nbucket"'):
         "node-hash bucket over per-(block, dst) partial contribution "
         "sums, not raw edges; bucket count is a dial",
+    ("webcurate.py", '"shard"'):
+        "training-shard assignment: group = one output shard (corpus / "
+        "num_shards rows), shard count is the caller's dial",
 }
 
 
