@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": curation.decontaminate_docs,
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
+        "dedup_incremental": dedup.dedup_incremental,
         "jaccard_pairs": dedup.jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_pairs": dedup.minhash_pairs,      # approximate → rows-only
@@ -331,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": curation.DECONTAMINATE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
+        "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "dedup_clusters": dedup.dedup_clusters_sql(),

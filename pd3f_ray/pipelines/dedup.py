@@ -992,3 +992,73 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
     return found.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-run) dedup
+# ---------------------------------------------------------------------------
+
+INCR_BUCKETS = 256
+
+
+def dedup_incremental(sf_dir: str, num_buckets: int = INCR_BUCKETS):
+    """Daily-increment crawl dedup: dedup TODAY's batch against
+    YESTERDAY's digest state AND within itself, keeping the minimum
+    doc_id per new digest. The split is deterministic so the op is
+    oracle-checkable: state = digests of even-doc_id documents (the
+    prior crawl), increment = odd-doc_id documents.
+
+    Plan (digests only — text never shuffles): both sides are hashed
+    map-side and meet in ONE digest-bucketed exchange; the per-bucket
+    fold drops every increment digest present in the state partition
+    and keeps min(doc_id) per surviving digest. In production the state
+    side is a column-pruned ``read_parquet`` of the previous run's
+    digest table and the surviving digests are unioned back into it —
+    identical plan, different source. Output (doc_id, text_hash)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def digest_sides(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hashes = [md5_hex(t) for t in batch.column("text").to_pylist()]
+        h64 = np.fromiter((int(h[:16], 16) & 0x7FFFFFFFFFFFFFFF
+                           for h in hashes), dtype=np.int64,
+                          count=len(hashes))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text_hash": pa.array(hashes, pa.string()),
+            "is_state": pa.array(ids % 2 == 0, pa.bool_()),
+            "hbucket": pa.array((h64 % num_buckets).astype(np.int32),
+                                pa.int32()),
+        })
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        state = set(group.loc[group["is_state"], "text_hash"])
+        new = group[~group["is_state"]]
+        new = new[~new["text_hash"].isin(state)]
+        keep = (new.sort_values(["text_hash", "doc_id"])
+                .drop_duplicates("text_hash", keep="first"))
+        return pd.DataFrame({
+            "doc_id": keep["doc_id"].to_numpy(np.int64),
+            "text_hash": keep["text_hash"].to_numpy(object),
+        })
+
+    return (
+        ds.map_batches(digest_sides, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(lambda g: fold(g.drop(columns=["hbucket"])),
+                    batch_format="pandas")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH state AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+),
+new AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 2 = 1
+)
+SELECT min(doc_id) AS doc_id, text_hash
+FROM new
+WHERE text_hash NOT IN (SELECT h FROM state)
+GROUP BY text_hash
+"""

@@ -785,3 +785,16 @@ def test_shuffle_assignment_oracle_and_coverage(ray_session, con):
     assert df["doc_id"].is_unique
     for _, sub in df.groupby("shard"):
         assert sorted(sub["pos"]) == list(range(1, len(sub) + 1))
+
+
+def test_dedup_incremental_oracle(ray_session, con):
+    from pd3f_ray.pipelines.dedup import (
+        DEDUP_INCREMENTAL_SQL,
+        dedup_incremental,
+    )
+
+    _match(dedup_incremental(SF), DEDUP_INCREMENTAL_SQL, con)
+    # survivors are odd-id docs whose content is absent from the state
+    df = dedup_incremental(SF).to_pandas()
+    assert (df["doc_id"] % 2 == 1).all()
+    assert df["text_hash"].is_unique

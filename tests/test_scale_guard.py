@@ -111,6 +111,9 @@ ALLOWED_MAP_GROUPS = {
     ("webcurate.py", '"shard"'):
         "training-shard assignment: group = one output shard (corpus / "
         "num_shards rows), shard count is the caller's dial",
+    ("dedup.py", '"hbucket"'):
+        "digest-hash bucket over (digest, doc_id) rows — text never "
+        "shuffles, bucket count is a dial",
 }
 
 
