@@ -340,3 +340,47 @@ def test_emb_lsh_planner_bounds_bucket_size():
         if planes < 24:
             p_hit = 0.9 ** planes
             assert 1 - (1 - p_hit) ** tables >= 0.999
+
+
+@given(
+    st.integers(min_value=0, max_value=60),
+    st.lists(st.integers(min_value=0, max_value=59), max_size=20),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=200, deadline=None)
+def test_span_coverage_matches_bruteforce(n_toks, raw_starts, w):
+    """_coverage's diff-array interval union == the brute-force mask."""
+    import numpy as np
+
+    from pd3f_ray.pipelines.spandedup import _coverage
+
+    starts = np.asarray([s for s in raw_starts if s < n_toks],
+                        dtype=np.int64)
+    got = _coverage(n_toks, starts, w)
+    want = np.zeros(n_toks, dtype=bool)
+    for s in starts:
+        want[s:s + w] = True
+    assert (got == want).all()
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase, min_size=1,
+                        max_size=6), min_size=0, max_size=30),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=100, deadline=None)
+def test_positional_shingles_consistent_with_set_form(toks, k):
+    """shingle_hash_positions: length max(0, n-k+1); its value set
+    equals word_shingles on the same text whenever n >= k; equal token
+    windows hash equal, and each position hashes its own window."""
+    from pd3f_ray.functions.textfns import (
+        shingle_hash_positions,
+        word_shingles,
+    )
+
+    hs = shingle_hash_positions(toks, k)
+    n = len(toks)
+    assert len(hs) == max(0, n - k + 1)
+    if n >= k:
+        assert set(hs.tolist()) == word_shingles(" ".join(toks), k)
+        for i in range(len(hs)):
+            window = toks[i:i + k]
+            assert hs[i] == shingle_hash_positions(window, k)[0]
