@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textstats.stratified_sample,
         "top_tokens": textstats.top_tokens,
         "top_tokens_per_lang": textstats.top_tokens_per_lang,
+        "top_bigrams": textstats.top_bigrams,
         # corpus indexing (inverted index + tf-idf term weighting)
         "token_postings": indexing.token_postings,
         "tfidf_terms": indexing.tfidf_terms,
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": textstats.stratified_sample_sql(),
         "top_tokens": textstats.top_tokens_sql(),
         "top_tokens_per_lang": textstats.top_tokens_per_lang_sql(),
+        "top_bigrams": textstats.top_bigrams_sql(),
         "token_postings": indexing.TOKEN_POSTINGS_SQL,
         "tfidf_terms": indexing.TFIDF_TERMS_SQL,
         "knn_bruteforce": similarity.knn_sql(),

@@ -492,3 +492,70 @@ ranked AS (
 SELECT lang, token, n, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus heavy-hitter bigrams
+# ---------------------------------------------------------------------------
+
+TOP_BIGRAMS_K = 20
+
+
+def top_bigrams(sf_dir: str, k: int = TOP_BIGRAMS_K):
+    """The k most frequent adjacent token PAIRS across the corpus — the
+    n-gram extension of ``top_tokens`` with the same scale-safe plan:
+    per-batch Counter partials (one row per (block, bigram) crosses the
+    exchange, never one per occurrence), hash aggregate, per-block
+    top-k partials, tiny global resolve. A pair counts only when both
+    tokens are non-empty, matching the SQL oracle's position join."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            c.update(f"{a} {b}" for a, b in zip(toks, toks[1:])
+                     if a and b)
+        return pa.table(
+            {
+                "bigram": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    totals = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("n", "descending"), ("bigram", "ascending")],
+        )
+        return batch.take(order[:k])
+
+    candidates = totals.map_batches(block_topk, batch_format="pyarrow")
+    return candidates.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def top_bigrams_sql(k: int = TOP_BIGRAMS_K) -> str:
+    return f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+  WHERE toks[i] != '' AND toks[i + 1] != ''
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {k}
+"""

@@ -798,3 +798,9 @@ def test_dedup_incremental_oracle(ray_session, con):
     df = dedup_incremental(SF).to_pandas()
     assert (df["doc_id"] % 2 == 1).all()
     assert df["text_hash"].is_unique
+
+
+def test_top_bigrams_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import top_bigrams, top_bigrams_sql
+
+    _match(top_bigrams(SF), top_bigrams_sql(), con)
