@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "event_value_quantiles": relational.event_value_quantiles,
         "event_value_histogram": relational.event_value_histogram,
+        "customer_rollup": relational.customer_rollup,
         "customer_order_counts": relational.customer_order_counts,
         # joins (broadcast + bucketed hash join)
         "nation_revenue": joins.nation_revenue,
@@ -319,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
         "event_value_histogram": relational.EVENT_VALUE_HISTOGRAM_SQL,
+        "customer_rollup": relational.CUSTOMER_ROLLUP_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,

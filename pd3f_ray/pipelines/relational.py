@@ -487,3 +487,69 @@ SELECT event_type,
 FROM events
 GROUP BY event_type, bin
 """
+
+
+# ---------------------------------------------------------------------------
+# one-pass ROLLUP (multi-level grouping sets)
+# ---------------------------------------------------------------------------
+
+
+def customer_rollup(sf_dir: str):
+    """ROLLUP(c_nationkey, c_mktsegment) over the customer table in ONE
+    pass: the map side explodes each batch into its three grouping
+    levels — (nation, segment), (nation, ALL), (ALL, ALL), sentinel -1
+    / 'ALL' for collapsed keys — and pre-aggregates, so the single
+    exchange carries ≤ 3 partial rows per (block, group) instead of
+    three separate aggregation jobs. Money travels as integer cents.
+    Output (nationkey, segment, n_customers, sum_acctbal_cents)."""
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_nationkey", "c_mktsegment",
+                                  "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        seg = np.asarray(batch.column("c_mktsegment").to_pylist(),
+                         dtype=object)
+        v = batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        all_seg = np.full(len(nk), "ALL", dtype=object)
+        levels = [
+            (nk, seg),
+            (nk, all_seg),
+            (np.full(len(nk), -1, dtype=np.int64), all_seg),
+        ]
+        t = pa.table({
+            "nationkey": pa.array(np.concatenate([l[0] for l in levels]),
+                                  pa.int64()),
+            "segment": pa.array(np.concatenate([l[1] for l in levels]),
+                                pa.string()),
+            "n_customers": pa.array(np.ones(3 * len(nk), np.int64)),
+            "cents": pa.array(np.tile(cents, 3), pa.int64()),
+        })
+        g = t.group_by(["nationkey", "segment"]).aggregate(
+            [("n_customers", "sum"), ("cents", "sum")])
+        return g.rename_columns(
+            ["nationkey", "segment", "n_customers", "sum_acctbal_cents"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["nationkey", "segment"])
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents"),
+        )
+    )
+
+
+CUSTOMER_ROLLUP_SQL = """
+SELECT CASE WHEN GROUPING(c_nationkey) = 1 THEN -1
+       ELSE c_nationkey END AS nationkey,
+       CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+       ELSE c_mktsegment END AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_acctbal_cents
+FROM customer
+GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+"""

@@ -804,3 +804,19 @@ def test_top_bigrams_oracle(ray_session, con):
     from pd3f_ray.pipelines.textstats import top_bigrams, top_bigrams_sql
 
     _match(top_bigrams(SF), top_bigrams_sql(), con)
+
+
+def test_customer_rollup_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        CUSTOMER_ROLLUP_SQL,
+        customer_rollup,
+    )
+
+    _match(customer_rollup(SF), CUSTOMER_ROLLUP_SQL, con)
+    # internal consistency: the ALL/ALL row equals the sum of the
+    # per-nation ALL rows
+    df = customer_rollup(SF).to_pandas()
+    top = df[(df["nationkey"] == -1) & (df["segment"] == "ALL")]
+    per_nation = df[(df["nationkey"] != -1) & (df["segment"] == "ALL")]
+    assert int(top["n_customers"].iloc[0]) == int(
+        per_nation["n_customers"].sum())
