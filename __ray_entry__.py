@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HLL as a composable AggregateFn (same estimate, one exchange
         # with a Count) — rows-only
         "approx_distinct_users_agg": sketches.approx_distinct_users_agg,
+        # mergeable streaming-histogram quantile sketch — rows-only
+        "approx_event_quantiles": sketches.approx_event_quantiles,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only

@@ -194,3 +194,106 @@ def approx_distinct_users_agg(sf_dir: str):
         hll_agg("user_id", "n_users_approx"),
         Count(alias_name="n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable streaming-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+QSKETCH_BINS = 64
+QSKETCH_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def _build_hist(values: np.ndarray, nbins: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Equal-count histogram of a value array: ≤ nbins (centroid,
+    count) pairs, centroids ascending. Deterministic (stable sort,
+    fixed split points)."""
+    v = np.sort(values)
+    n = len(v)
+    if n <= nbins:
+        cents, counts = np.unique(v, return_counts=True)
+        return cents.astype(np.float64), counts.astype(np.int64)
+    edges = (np.arange(nbins + 1) * n) // nbins
+    cents = np.empty(nbins, np.float64)
+    counts = np.empty(nbins, np.int64)
+    for i in range(nbins):
+        chunk = v[edges[i]:edges[i + 1]]
+        cents[i] = chunk.mean()
+        counts[i] = len(chunk)
+    return cents, counts
+
+
+def _merge_hist(cents: np.ndarray, counts: np.ndarray, nbins: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Ben-Haim & Tom-Tov (2010) streaming-histogram merge: repeatedly
+    fuse the closest centroid pair (weighted mean) until ≤ nbins bins.
+    Deterministic: ties resolve to the first minimum gap."""
+    order = np.argsort(cents, kind="mergesort")
+    c, n = cents[order].copy(), counts[order].copy()
+    while len(c) > nbins:
+        i = int(np.argmin(np.diff(c)))
+        tot = n[i] + n[i + 1]
+        c[i] = (c[i] * n[i] + c[i + 1] * n[i + 1]) / tot
+        n[i] = tot
+        c = np.delete(c, i + 1)
+        n = np.delete(n, i + 1)
+    return c, n
+
+
+def _hist_quantile(cents: np.ndarray, counts: np.ndarray, q: float
+                   ) -> float:
+    """Quantile estimate from the histogram: cumulative counts located
+    at the centroids, linear interpolation between them."""
+    cum = np.cumsum(counts) - counts / 2.0
+    target = q * counts.sum()
+    return float(np.interp(target, cum, cents))
+
+
+def approx_event_quantiles(sf_dir: str, nbins: int = QSKETCH_BINS):
+    """Approximate per-type value quantiles via a MERGEABLE streaming
+    histogram — the scale-path counterpart to the exact
+    ``event_value_quantiles``: each block contributes one constant-size
+    (centroids, counts) summary row per type, so the exchange payload
+    is blocks × nbins regardless of event count, and the sketch
+    composes under merge exactly like the HLL registers above
+    (Ben-Haim & Tom-Tov 2010, public method). Output (event_type, q,
+    value_approx); rows-only — accuracy pinned by an error-bound test
+    against the exact quantiles."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "value": batch.column("value").to_numpy(zero_copy_only=False),
+        })
+        types, cents, counts = [], [], []
+        for et, sub in df.groupby("event_type", sort=False):
+            c, n = _build_hist(sub["value"].to_numpy(), nbins)
+            types.append(et)
+            cents.append(c.tolist())
+            counts.append(n.tolist())
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "cents": pa.array(cents, pa.list_(pa.float64())),
+            "counts": pa.array(counts, pa.list_(pa.int64())),
+        })
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        all_c = np.concatenate([np.asarray(x) for x in group["cents"]])
+        all_n = np.concatenate([np.asarray(x, dtype=np.int64)
+                                for x in group["counts"]])
+        c, n = _merge_hist(all_c, all_n, nbins)
+        et = group["event_type"].iloc[0]
+        return pd.DataFrame({
+            "event_type": [et] * len(QSKETCH_QUANTILES),
+            "q": list(QSKETCH_QUANTILES),
+            "value_approx": [_hist_quantile(c, n, q)
+                             for q in QSKETCH_QUANTILES],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -820,3 +820,25 @@ def test_customer_rollup_oracle(ray_session, con):
     per_nation = df[(df["nationkey"] != -1) & (df["segment"] == "ALL")]
     assert int(top["n_customers"].iloc[0]) == int(
         per_nation["n_customers"].sum())
+
+
+def test_approx_event_quantiles_error_bound(ray_session, con):
+    """The streaming-histogram sketch's rank error vs the true value
+    distribution must stay under 3% at every (type, q), and the sketch
+    must be deterministic across runs."""
+    import numpy as np
+
+    from pd3f_ray.pipelines.sketches import approx_event_quantiles
+
+    df = approx_event_quantiles(SF).to_pandas()
+    assert len(df) > 0
+    for _, r in df.iterrows():
+        v = np.sort(np.asarray(con.execute(
+            "SELECT value FROM events WHERE event_type = ?",
+            [r["event_type"]]).fetchnumpy()["value"]))
+        rank = np.searchsorted(v, r["value_approx"]) / len(v)
+        assert abs(rank - r["q"]) < 0.03, (r["event_type"], r["q"], rank)
+    again = approx_event_quantiles(SF).to_pandas()
+    a = df.sort_values(["event_type", "q"]).reset_index(drop=True)
+    b = again.sort_values(["event_type", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
