@@ -76,6 +76,21 @@ def _q_extract_docs(sf_dir: str):
     return extract_from_parquet(ensure_corpus(sf_dir, kind="docs"))
 
 
+def _q_extract_fast(sf_dir: str):
+    """Reference fast-mode surface (export.py:55 fast=True: skip
+    element classification, small LMs): the same corpus through the
+    fast ExtractOptions — proves the config axis end-to-end as a
+    first-class pipeline variant."""
+    from pd3f_ray.core.config import ExtractOptions
+    from pd3f_ray.pipelines.extraction import extract_from_parquet
+    from pd3f_ray.sources.corpus import ensure_corpus
+
+    return extract_from_parquet(
+        ensure_corpus(sf_dir, kind="docs"),
+        ExtractOptions.experimental(fast=True),
+    )
+
+
 def _q_extract_pages(sf_dir: str):
     from pd3f_ray.pipelines.extraction import extract_from_pages_parquet
     from pd3f_ray.sources.corpus import ensure_corpus
@@ -187,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction (LM-in-the-loop; rows-only checks — no SQL equivalent)
         "extract_docs": _q_extract_docs,
+        "extract_fast": _q_extract_fast,
         "extract_pages": _q_extract_pages,
         "extract_summary": _q_extract_summary,
         "extract_markdown": _q_extract_markdown,
