@@ -230,9 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": relational.event_value_histogram,
         "customer_rollup": relational.customer_rollup,
         "customer_order_counts": relational.customer_order_counts,
-        # joins (broadcast + bucketed hash join)
+        # joins (broadcast + bucketed hash/semi join)
         "nation_revenue": joins.nation_revenue,
         "supplier_part_join": joins.supplier_part_join,
+        "customers_with_orders": joins.customers_with_orders,
         # graph analytics (integer PageRank, exact vs unrolled SQL)
         "pagerank": graph.pagerank,
         # windowed / order-dependent (bucketed shuffle + in-group sort)
@@ -241,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": windows.events_sliding,
         "latest_event_per_user": windows.latest_event_per_user,
         "user_running_total": windows.user_running_total,
+        "late_events": windows.late_events,
         # dedup family
         "curate_docs": curation.curate_docs,
         "curate_neardup": curation.curate_neardup,
@@ -298,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": webcurate.pack_sequences,  # greedy → rows-only
         "balanced_mixture": webcurate.balanced_mixture,
         "shuffle_assignment": webcurate.shuffle_assignment,
+        "source_cap_sample": webcurate.source_cap_sample,
+        "nfc_normalize_docs": webcurate.nfc_normalize_docs,
         # JSONL sink+source interop roundtrip (oracle-checked lossless)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
@@ -342,12 +346,14 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
+        "customers_with_orders": joins.CUSTOMERS_WITH_ORDERS_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
         "events_sliding": windows.EVENTS_SLIDING_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "user_running_total": windows.RUNNING_TOTAL_SQL,
+        "late_events": windows.LATE_EVENTS_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
         "curate_neardup": curation.CURATE_NEARDUP_SQL,
         "decontaminate_docs": curation.DECONTAMINATE_SQL,
@@ -381,5 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": webcurate.LINE_DEDUP_SQL,
         "balanced_mixture": webcurate.BALANCED_MIXTURE_SQL,
         "shuffle_assignment": webcurate.SHUFFLE_ASSIGNMENT_SQL,
+        "source_cap_sample": webcurate.SOURCE_CAP_SQL,
+        "nfc_normalize_docs": webcurate.NFC_NORMALIZE_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     }

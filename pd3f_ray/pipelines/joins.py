@@ -212,7 +212,35 @@ def anti_join(
     appear on the right, via the same one-shuffle bucketed
     co-partitioning as ``hash_join`` (the right side only needs its key
     column — pass it pre-projected). Output = the left schema."""
+    return _membership_join(left, right, left_key, right_key,
+                            num_buckets, left_schema, keep_matched=False)
 
+
+def semi_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    num_buckets: int = JOIN_BUCKETS,
+    left_schema: "pa.Schema | None" = None,
+) -> "rd.Dataset":
+    """LEFT SEMI join on int64 keys: left rows whose key DOES appear on
+    the right (each at most once, regardless of right-side multiplicity
+    — ``WHERE key IN (...)`` semantics). Same one-shuffle bucketed plan
+    as ``anti_join``; only the membership filter direction differs."""
+    return _membership_join(left, right, left_key, right_key,
+                            num_buckets, left_schema, keep_matched=True)
+
+
+def _membership_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_key: str,
+    right_key: str,
+    num_buckets: int,
+    left_schema: "pa.Schema | None",
+    keep_matched: bool,
+) -> "rd.Dataset":
     def tag(side: str, key: str):
         def fn(batch: pa.Table) -> pa.Table:
             keys = batch.column(key).to_numpy(zero_copy_only=False)
@@ -236,7 +264,7 @@ def anti_join(
         right.map_batches(tag("r", right_key), batch_format="pyarrow")
     )
 
-    def keep_unmatched(group: pd.DataFrame) -> pd.DataFrame:
+    def membership(group: pd.DataFrame) -> pd.DataFrame:
         l = (group.loc[group["__side"] == "l"]
              .reindex(columns=left_cols).astype(left_dt))
         if len(l) == 0:
@@ -245,10 +273,13 @@ def anti_join(
         r = group.loc[group["__side"] == "r"]
         if right_key in r.columns and len(r):
             rk = set(r[right_key].dropna().astype("int64"))
-            l = l[~l[left_key].isin(rk)]
+            hit = l[left_key].isin(rk)
+            l = l[hit] if keep_matched else l[~hit]
+        elif keep_matched:
+            l = l.iloc[0:0]
         return l
 
-    return tagged.groupby("__bucket").map_groups(keep_unmatched,
+    return tagged.groupby("__bucket").map_groups(membership,
                                                  batch_format="pandas")
 
 
@@ -447,4 +478,30 @@ SELECT s.s_nationkey AS s_nationkey,
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_nationkey
+"""
+
+
+def customers_with_orders(sf_dir: str, num_buckets: int = 32):
+    """SEMI-join query: customers that placed at least one order —
+    ``WHERE c_custkey IN (SELECT o_custkey FROM orders)``. The right
+    side ships only its key column through the bucketed exchange; the
+    left rows come out at most once each whatever the per-customer
+    order count is. Output (c_custkey, c_name, c_acctbal)."""
+    customer = _pq(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = _pq(sf_dir, "orders", ["o_custkey"])
+    import pyarrow as _pa
+
+    schema = _pa.schema([
+        ("c_custkey", _pa.int64()),
+        ("c_name", _pa.string()),
+        ("c_acctbal", _pa.float64()),
+    ])
+    return semi_join(customer, orders, "c_custkey", "o_custkey",
+                     num_buckets=num_buckets, left_schema=schema)
+
+
+CUSTOMERS_WITH_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """

@@ -672,3 +672,92 @@ FROM documents
 
 
 SHUFFLE_ASSIGNMENT_SQL = shuffle_assignment_sql()
+
+
+SOURCE_CAP = 10  # max docs kept per source
+
+
+def source_cap_sample(sf_dir: str, cap: int = SOURCE_CAP):
+    """Per-domain document cap (the RefinedWeb/C4 'limit pages per
+    domain' curation pass): keep at most ``cap`` documents per source,
+    chosen deterministically by md5(doc_id) rank so the sample is
+    stable across runs and decorrelated from crawl order.
+
+    Scale plan — the same per-block top-k partial pattern as
+    ``textstats.top_tokens``: each BLOCK keeps its own ``cap`` best rows
+    per source (vectorized groupby head after a sort), so the single
+    ``groupby(source)`` resolve sees ≤ blocks × cap rows per source,
+    never the full per-domain document list. Output (doc_id, source)."""
+    from pd3f_ray.functions.textfns import md5_hex
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rank=[md5_hex(str(i)) for i in df["doc_id"]])
+        df = df.sort_values(["source", "rank", "doc_id"], kind="mergesort")
+        return df.groupby("source", sort=False).head(cap)
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["rank", "doc_id"], kind="mergesort").head(cap)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "source": g["source"].to_numpy(object),
+        })
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("source")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def source_cap_sample_sql(cap: int = SOURCE_CAP) -> str:
+    return f"""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents)
+WHERE rn <= {cap}
+"""
+
+
+SOURCE_CAP_SQL = source_cap_sample_sql()
+
+
+# appended suffix: a decomposed e-acute and an Angstrom sign — characters
+# whose NFC form differs from the raw codepoints, so the oracle is
+# non-trivial even over the all-ASCII synthetic corpus
+NFC_SUFFIX = " e\u0301\u212b"  # kept as escapes: editors may NFC-normalize literals
+
+
+def nfc_normalize_docs(sf_dir: str):
+    """Unicode NFC normalization pass (the standard pre-tokenization
+    canonicalization step), oracle-checked against DuckDB's
+    ``nfc_normalize``: a deterministic suffix with a combining acute and
+    a compatibility Angstrom sign is injected into every document (the
+    synthetic corpus is ASCII, where NFC is the identity) and both
+    engines normalize the same bytes. Stateless vectorized map — no
+    exchange. Output (doc_id, text_norm)."""
+    import unicodedata
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = [unicodedata.normalize("NFC", t + NFC_SUFFIX) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_norm": pa.array(out, pa.string()),
+        })
+
+    return docs.map_batches(norm, batch_format="pyarrow")
+
+
+NFC_NORMALIZE_SQL = """
+SELECT doc_id,
+       nfc_normalize(text || ' e' || chr(769) || chr(8491)) AS text_norm
+FROM documents
+"""

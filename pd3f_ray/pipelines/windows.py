@@ -310,3 +310,62 @@ SELECT event_id, user_id,
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents
 FROM events
 """
+
+
+def late_events(sf_dir: str):
+    """Out-of-order (late-data) detection — the watermark primitive of
+    a streaming ingest: an event is LATE if its ts is older than the
+    max ts among events of the same user that arrived before it. The
+    synthetic events table is perfectly time-ordered, so arrival order
+    is simulated by a deterministic permutation both sides compute
+    identically: arrival rank = md5(event_id) hex (ties by event_id).
+
+    Plan: stateless map attaches the arrival key; ONE user-bucket
+    exchange; in-group vectorized scan (sort by (user, arrival), running
+    cummax of ts per user, compare against the strict-predecessor max).
+    Output one row per late event: (event_id, user_id, lateness_us)."""
+    import hashlib
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def arrival(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        key = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return batch.append_column("arrival", pa.array(key, pa.string()))
+
+    def detect(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["bucket"]).sort_values(
+            ["user_id", "arrival", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        # strict predecessor max within the user = running cummax shifted
+        # one row, masked at each user's first row
+        prev = np.roll(pd.Series(ts).groupby(uid, sort=False)
+                       .cummax().to_numpy(np.int64), 1)
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        late = (~first) & (ts < prev)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[late],
+            "user_id": uid[late],
+            "lateness_us": (prev - ts)[late].astype(np.int64),
+        })
+
+    return _bucketed(
+        ds.map_batches(arrival, batch_format="pyarrow")
+    ).map_groups(detect, batch_format="pandas")
+
+
+LATE_EVENTS_SQL = """
+SELECT event_id, user_id,
+       CAST(date_diff('microseconds', ts, prev_max) AS BIGINT) AS lateness_us
+FROM (
+    SELECT event_id, user_id, ts,
+           max(ts) OVER (PARTITION BY user_id
+                         ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+    FROM events)
+WHERE ts < prev_max
+"""

@@ -842,3 +842,61 @@ def test_approx_event_quantiles_error_bound(ray_session, con):
     a = df.sort_values(["event_type", "q"]).reset_index(drop=True)
     b = again.sort_values(["event_type", "q"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_semi_join_oracle(ray_session, con):
+    from pd3f_ray.pipelines.joins import (
+        CUSTOMERS_WITH_ORDERS_SQL,
+        customers_with_orders,
+    )
+
+    _match(customers_with_orders(SF), CUSTOMERS_WITH_ORDERS_SQL, con)
+
+
+def test_semi_join_emits_left_rows_at_most_once(ray_session, con):
+    # a customer with many orders must still appear exactly once
+    from pd3f_ray.pipelines.joins import customers_with_orders
+
+    got = customers_with_orders(SF).to_pandas()
+    assert got["c_custkey"].is_unique
+    multi = con.execute(
+        "SELECT count(*) FROM (SELECT o_custkey FROM orders "
+        "GROUP BY o_custkey HAVING count(*) > 1)").fetchone()[0]
+    assert multi > 0  # the fixture actually exercises multiplicity
+
+
+def test_late_events_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import LATE_EVENTS_SQL, late_events
+
+    _match(late_events(SF), LATE_EVENTS_SQL, con)
+    # the md5 arrival permutation must actually produce late rows
+    assert late_events(SF).count() > 0
+
+
+def test_source_cap_sample_oracle(ray_session, con):
+    from pd3f_ray.pipelines.webcurate import SOURCE_CAP_SQL, source_cap_sample
+
+    _match(source_cap_sample(SF), SOURCE_CAP_SQL, con)
+
+
+def test_source_cap_respects_cap_and_determinism(ray_session):
+    from pd3f_ray.pipelines.webcurate import source_cap_sample
+
+    a = _canon(source_cap_sample(SF, cap=3).to_pandas())
+    b = _canon(source_cap_sample(SF, cap=3).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("source").size() <= 3).all()
+
+
+def test_nfc_normalize_oracle(ray_session, con):
+    from pd3f_ray.pipelines.webcurate import NFC_NORMALIZE_SQL, nfc_normalize_docs
+
+    _match(nfc_normalize_docs(SF), NFC_NORMALIZE_SQL, con)
+
+
+def test_nfc_suffix_actually_normalizes(ray_session):
+    import unicodedata
+
+    from pd3f_ray.pipelines.webcurate import NFC_SUFFIX
+
+    assert unicodedata.normalize("NFC", NFC_SUFFIX) != NFC_SUFFIX
