@@ -170,6 +170,12 @@ def _q_pages_roundtrip(sf_dir: str):
     return pages_roundtrip(sf_dir)
 
 
+def _q_headers_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import headers_roundtrip
+
+    return headers_roundtrip(sf_dir)
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     from pd3f_ray.sources.jsonl import jsonl_roundtrip
 
@@ -215,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pushed through the REAL bucketed sort-shuffle + fused reduce
         # (extract_pages_fused); driver hash-compares text byte-per-url
         "pages_roundtrip": _q_pages_roundtrip,
+        # oracle-CHECKED header/footer machinery: two-page wrap with
+        # repeated isHeader/isFooter groups; near-dup dedup + placement
+        # must reproduce the SQL-expressible render byte-per-url
+        "headers_roundtrip": _q_headers_roundtrip,
         # oracle-CHECKED html boilerplate strip: documents wrapped in a
         # full HTML page with injected nav/sidebar/footer; the
         # main-content stage must return the body text byte-identical
@@ -326,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
 
     from pd3f_ray.pipelines.extraction import (
         EXTRACT_ROUNDTRIP_SQL,
+        HEADERS_ROUNDTRIP_SQL,
         PAGES_ROUNDTRIP_SQL,
     )
     from pd3f_ray.pipelines.webtext import HTML_LINKS_SQL, HTML_ROUNDTRIP_SQL
@@ -334,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
         "pages_roundtrip": PAGES_ROUNDTRIP_SQL,
+        "headers_roundtrip": HEADERS_ROUNDTRIP_SQL,
         "html_roundtrip": HTML_ROUNDTRIP_SQL,
         "html_links": HTML_LINKS_SQL,
         "q1_pricing": relational.Q1_SQL,

@@ -305,6 +305,113 @@ FROM s
 """
 
 
+def headers_roundtrip(sf_dir: str):
+    """Oracle-checkable exercise of the HEADER/FOOTER machinery through
+    the real ``ExtractDocs`` actor pool: every ``documents`` row becomes
+    a TWO-page layout where each page carries (a) an isHeader element
+    ``Src <source>`` repeated verbatim on both pages, (b) a body
+    paragraph (page 0: the full token stream as one line — the
+    ``extract_roundtrip`` identity shape, page 0 also holds the line-gap
+    dummy; page 1: the single word ``end``), and (c) an isFooter element
+    ``Page of <source>``. Header/footer lines sit at MARGIN_L+200 so the
+    ``is_body_paragrah`` left-median test (kernel ``looks_like_body``,
+    reference doc_info.py:305-321) can never reclassify them: the doc
+    always has 4 body-left and 4 shifted lines, putting the median 100px
+    from both. Config = experimental but ``remove_page_number=False``
+    (the reference quirk faithfully reproduced in
+    ``drop_page_number_groups`` empties header/footer output otherwise).
+
+    What the oracle proves byte-per-url: near-dup header AND footer
+    groups across pages are deduped to one survivor (D1 groups_similar +
+    D3 sequential LM-tiebreak dedup, reference doc_info.py:102-152),
+    header renders once at the top, footer once at the end — i.e.
+    ``Src <source>\n\n<text>\n\nend\n\nPage of <source>\n\n``."""
+    import pyarrow as pa
+
+    from pd3f_ray.sources.synth import (
+        BODY_FONT,
+        FONTS,
+        LINE_GAP,
+        LINE_H,
+        MARGIN_L,
+        _IdGen,
+        _line,
+        _paragraph,
+    )
+    from pd3f_ray.stages.pages import _dumps
+
+    hf_left = MARGIN_L + 200.0
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls, htmls = [], []
+        for did, text, source in zip(ids, texts, srcs):
+            gen = _IdGen()
+
+            def flagged(words, top, header):
+                ln = _line(gen, words, BODY_FONT, top, hf_left)
+                p = _paragraph(gen, [ln])
+                p["properties"] = {"isHeader": header, "isFooter": not header}
+                return p
+
+            pages = []
+            for pi, body_words in enumerate([text.split(" "), ["end"]]):
+                els = [
+                    flagged(["Src", source], 20.0, True),
+                    _paragraph(
+                        gen, [_line(gen, body_words, BODY_FONT, 90.0, MARGIN_L)]
+                    ),
+                ]
+                if pi == 0:
+                    d1 = _line(gen, ["..."], BODY_FONT, 500.0, MARGIN_L)
+                    d2 = _line(gen, ["..."], BODY_FONT,
+                               500.0 + LINE_H + LINE_GAP, MARGIN_L)
+                    els.append(_paragraph(gen, [d1, d2]))
+                els.append(flagged(["Page", "of", source], 700.0, False))
+                pages.append({"elements": els})
+            urls.append(f"doc://{did}")
+            htmls.append(_dumps({"pages": pages,
+                                 "fonts": [dict(f) for f in FONTS]}))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "source", "lang"])
+    opts = ExtractOptions.experimental().with_(remove_page_number=False)
+    extracted = extract_dataset(
+        docs.map_batches(wrap, batch_format="pyarrow"), opts=opts
+    )
+
+    def project(batch):
+        import pyarrow as _pa
+
+        return _pa.table({
+            "url": batch.column("url"),
+            "text": batch.column("text").cast(_pa.string()),
+        })
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+HEADERS_ROUNDTRIP_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       'Src ' || source || chr(10) || chr(10)
+       || text || chr(10) || chr(10)
+       || 'end' || chr(10) || chr(10)
+       || 'Page of ' || source || chr(10) || chr(10) AS text
+FROM documents
+"""
+
+
 def _add_url_bucket(num_buckets: int):
     """Map-side url-hash bucket column (crc32 — stable across processes)
     for hash-partitioned output: no extra shuffle, the partitioned write

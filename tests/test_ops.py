@@ -900,3 +900,15 @@ def test_nfc_suffix_actually_normalizes(ray_session):
     from pd3f_ray.pipelines.webcurate import NFC_SUFFIX
 
     assert unicodedata.normalize("NFC", NFC_SUFFIX) != NFC_SUFFIX
+
+
+def test_headers_roundtrip_byte_identical(ray_session, con):
+    # drives the real ExtractDocs pool through the header/footer path:
+    # repeated isHeader/isFooter groups deduped across pages (D1+D3),
+    # header rendered once at top, footer once at the end
+    from pd3f_ray.pipelines.extraction import (
+        HEADERS_ROUNDTRIP_SQL,
+        headers_roundtrip,
+    )
+
+    _match(headers_roundtrip(SF), HEADERS_ROUNDTRIP_SQL, con)
