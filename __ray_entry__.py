@@ -176,6 +176,24 @@ def _q_headers_roundtrip(sf_dir: str):
     return headers_roundtrip(sf_dir)
 
 
+def _q_dehyphen_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import dehyphen_roundtrip
+
+    return dehyphen_roundtrip(sf_dir)
+
+
+def _q_pagebreak_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import pagebreak_roundtrip
+
+    return pagebreak_roundtrip(sf_dir)
+
+
+def _q_footnotes_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import footnotes_roundtrip
+
+    return footnotes_roundtrip(sf_dir)
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     from pd3f_ray.sources.jsonl import jsonl_roundtrip
 
@@ -225,6 +243,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repeated isHeader/isFooter groups; near-dup dedup + placement
         # must reproduce the SQL-expressible render byte-per-url
         "headers_roundtrip": _q_headers_roundtrip,
+        # oracle-CHECKED decision paths through the real actor pool:
+        # dehyphenation (L2), cross-page paragraph merge (L4+R4), and
+        # footnote classify+reorder (C3/C4/R3) — fixed-geometry fixture
+        # paragraphs make every decision byte-constant per document
+        "dehyphen_roundtrip": _q_dehyphen_roundtrip,
+        "pagebreak_roundtrip": _q_pagebreak_roundtrip,
+        "footnotes_roundtrip": _q_footnotes_roundtrip,
         # oracle-CHECKED html boilerplate strip: documents wrapped in a
         # full HTML page with injected nav/sidebar/footer; the
         # main-content stage must return the body text byte-identical
@@ -335,8 +360,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from pd3f_ray.pipelines.extraction import (
+        DEHYPHEN_ROUNDTRIP_SQL,
         EXTRACT_ROUNDTRIP_SQL,
+        FOOTNOTES_ROUNDTRIP_SQL,
         HEADERS_ROUNDTRIP_SQL,
+        PAGEBREAK_ROUNDTRIP_SQL,
         PAGES_ROUNDTRIP_SQL,
     )
     from pd3f_ray.pipelines.webtext import HTML_LINKS_SQL, HTML_ROUNDTRIP_SQL
@@ -346,6 +374,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
         "pages_roundtrip": PAGES_ROUNDTRIP_SQL,
         "headers_roundtrip": HEADERS_ROUNDTRIP_SQL,
+        "dehyphen_roundtrip": DEHYPHEN_ROUNDTRIP_SQL,
+        "pagebreak_roundtrip": PAGEBREAK_ROUNDTRIP_SQL,
+        "footnotes_roundtrip": FOOTNOTES_ROUNDTRIP_SQL,
         "html_roundtrip": HTML_ROUNDTRIP_SQL,
         "html_links": HTML_LINKS_SQL,
         "q1_pricing": relational.Q1_SQL,

@@ -566,3 +566,187 @@ def run_resumable(
         total["rows"] += rec["rows"]
         total["errors"] += rec["errors"]
     return total
+
+
+def _fixture_roundtrip(sf_dir: str, build_pages, opts: ExtractOptions | None = None):
+    """Shared harness for the decision-path roundtrips below: wrap every
+    ``documents`` row into ``build_pages(gen, text)``-built pages (page 0
+    is expected to start with the identity-shape text paragraph), push
+    through the REAL ``ExtractDocs`` actor pool, emit (url, text). The
+    fixture paragraphs use only constant geometry (fixed tops/lefts/
+    word sets), so every join-cascade / scorer decision inside them is
+    byte-constant across documents and SQL-expressible as a literal."""
+    import pyarrow as pa
+
+    from pd3f_ray.sources.synth import FONTS, _IdGen
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls, htmls = [], []
+        for did, text in zip(ids, texts):
+            gen = _IdGen()
+            layout = {"pages": build_pages(gen, text),
+                      "fonts": [dict(f) for f in FONTS]}
+            urls.append(f"doc://{did}")
+            htmls.append(_fx_dumps(layout))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    extracted = extract_dataset(
+        docs.map_batches(wrap, batch_format="pyarrow"), opts=opts
+    )
+
+    def project(batch):
+        import pyarrow as _pa
+
+        return _pa.table({
+            "url": batch.column("url"),
+            "text": batch.column("text").cast(_pa.string()),
+        })
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+def _fx_dumps(layout):
+    from pd3f_ray.stages.pages import _dumps
+
+    return _dumps(layout)
+
+
+def _fx_identity_para(gen, text: str):
+    from pd3f_ray.sources.synth import BODY_FONT, MARGIN_L, _line, _paragraph
+
+    return _paragraph(gen, [_line(gen, text.split(" "), BODY_FONT, 90.0,
+                                  MARGIN_L)])
+
+
+def _fx_dummy(gen):
+    from pd3f_ray.sources.synth import (BODY_FONT, LINE_GAP, LINE_H, MARGIN_L,
+                                        _line, _paragraph)
+
+    d1 = _line(gen, ["..."], BODY_FONT, 500.0, MARGIN_L)
+    d2 = _line(gen, ["..."], BODY_FONT, 500.0 + LINE_H + LINE_GAP, MARGIN_L)
+    return _paragraph(gen, [d1, d2])
+
+
+def dehyphen_roundtrip(sf_dir: str):
+    """Oracle-checked DEHYPHENATION path (reference dehyphen_paragraph,
+    dehyphen_wrapper.py:34-37): page 0 carries, besides the identity
+    text paragraph, a fixed two-line paragraph whose first line ends
+    ``recon-`` and whose second starts ``struction`` — the scorer's
+    three-candidate choice (merge-plain / keep-hyphen / leave-split)
+    deterministically merges to ``reconstruction`` (in-vocab), the line
+    pair joins with a space (cascade rule 5: >5 words), and the output
+    gains a byte-constant second paragraph the SQL oracle reproduces as
+    a literal."""
+    from pd3f_ray.sources.synth import BODY_FONT, LINE_GAP, LINE_H, MARGIN_L, \
+        _line, _paragraph
+
+    def pages(gen, text):
+        l1 = _line(gen, ["the", "data", "and", "the", "table", "recon-"],
+                   BODY_FONT, 200.0, MARGIN_L)
+        l2 = _line(gen, ["struction", "of", "the", "continuation", "value."],
+                   BODY_FONT, 200.0 + LINE_H + LINE_GAP, MARGIN_L)
+        return [{"elements": [_fx_identity_para(gen, text),
+                              _paragraph(gen, [l1, l2]), _fx_dummy(gen)]}]
+
+    return _fixture_roundtrip(sf_dir, pages)
+
+
+DEHYPHEN_ROUNDTRIP_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       text || chr(10) || chr(10)
+       || 'the data and the table reconstruction of the continuation value.'
+       || chr(10) || chr(10) AS text
+FROM documents
+"""
+
+
+def pagebreak_roundtrip(sf_dir: str):
+    """Oracle-checked CROSS-PAGE PARAGRAPH MERGE path (reference
+    reverse_page_break, doc_output.py:59-95 + is_split_paragraph LM
+    test): page 0 ends with a fixed two-line paragraph whose last line
+    fills its hull (rule 2 → no trailing newline), page 1 opens with its
+    continuation; the scorer's merged-candidate score beats both parts
+    (in-vocab words, incompleteness penalties removed), so the two pages'
+    paragraphs come back as ONE byte-constant flowing paragraph."""
+    from pd3f_ray.sources.synth import BODY_FONT, LINE_GAP, LINE_H, MARGIN_L, \
+        _line, _paragraph
+
+    def pages(gen, text):
+        m1 = _line(gen, ["the", "data", "and", "the", "table", "with"],
+                   BODY_FONT, 200.0, MARGIN_L)
+        m2 = _line(gen, ["the", "continuation", "of", "the", "data"],
+                   BODY_FONT, 200.0 + LINE_H + LINE_GAP, MARGIN_L)
+        n1 = _line(gen, ["was", "a", "reconstruction", "of", "the", "value."],
+                   BODY_FONT, 90.0, MARGIN_L)
+        return [
+            {"elements": [_fx_identity_para(gen, text), _fx_dummy(gen),
+                          _paragraph(gen, [m1, m2])]},
+            {"elements": [_paragraph(gen, [n1])]},
+        ]
+
+    return _fixture_roundtrip(sf_dir, pages)
+
+
+PAGEBREAK_ROUNDTRIP_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       text || chr(10) || chr(10)
+       || 'the data and the table with the continuation of the data '
+       || 'was a reconstruction of the value.' || chr(10) || chr(10) AS text
+FROM documents
+"""
+
+
+def footnotes_roundtrip(sf_dir: str):
+    """Oracle-checked FOOTNOTE path (reference is_footnotes_paragraph
+    export.py:514-554, footnote join variant export.py:428-460, and
+    reorder_footnotes doc_output.py:97-105): page 0 ends with a fixed
+    two-line SMALL_FONT paragraph whose lines start with numerals — the
+    classifier fires (non-body font, size below body, last on page,
+    numeric lead) and the reorder moves it AFTER page 1's body text; a
+    BODY_FONT filler paragraph pins the document's modal font so short
+    documents can't flip ``body_font`` to the footnote font. Output =
+    text, filler, page-1 body, then the footnote render (its own
+    line-join quirks included) — all byte-constant."""
+    from pd3f_ray.sources.synth import BODY_FONT, SMALL_FONT, LINE_GAP, \
+        LINE_H, MARGIN_L, _line, _paragraph
+
+    filler_words = ("the data and the table with the value of the batch "
+                    "stream").split(" ")
+
+    def pages(gen, text):
+        filler = _paragraph(gen, [_line(gen, list(filler_words), BODY_FONT,
+                                        200.0, MARGIN_L)])
+        f1 = _line(gen, ["1", "see", "the", "value"], SMALL_FONT, 700.0,
+                   MARGIN_L)
+        f2 = _line(gen, ["2", "see", "the", "data"], SMALL_FONT,
+                   700.0 + LINE_H + LINE_GAP, MARGIN_L)
+        p2 = _paragraph(gen, [_line(gen, ["end."], BODY_FONT, 90.0, MARGIN_L)])
+        return [
+            {"elements": [_fx_identity_para(gen, text), filler,
+                          _fx_dummy(gen), _paragraph(gen, [f1, f2])]},
+            {"elements": [p2]},
+        ]
+
+    return _fixture_roundtrip(sf_dir, pages)
+
+
+FOOTNOTES_ROUNDTRIP_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       text || chr(10) || chr(10)
+       || 'the data and the table with the value of the batch stream'
+       || chr(10) || chr(10) || 'end.' || chr(10) || chr(10)
+       || '1 see the value  2 see the data' || chr(10) AS text
+FROM documents
+"""

@@ -912,3 +912,21 @@ def test_headers_roundtrip_byte_identical(ray_session, con):
     )
 
     _match(headers_roundtrip(SF), HEADERS_ROUNDTRIP_SQL, con)
+
+
+def test_decision_path_roundtrips_byte_identical(ray_session, con):
+    # dehyphenation (L2), cross-page merge (L4+R4), footnote
+    # classify+reorder (C3/C4/R3) — each through the real actor pool,
+    # each byte-constant per document by fixed fixture geometry
+    from pd3f_ray.pipelines.extraction import (
+        DEHYPHEN_ROUNDTRIP_SQL,
+        FOOTNOTES_ROUNDTRIP_SQL,
+        PAGEBREAK_ROUNDTRIP_SQL,
+        dehyphen_roundtrip,
+        footnotes_roundtrip,
+        pagebreak_roundtrip,
+    )
+
+    _match(dehyphen_roundtrip(SF), DEHYPHEN_ROUNDTRIP_SQL, con)
+    _match(pagebreak_roundtrip(SF), PAGEBREAK_ROUNDTRIP_SQL, con)
+    _match(footnotes_roundtrip(SF), FOOTNOTES_ROUNDTRIP_SQL, con)
