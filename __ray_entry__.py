@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_histogram": relational.event_value_histogram,
         "customer_rollup": relational.customer_rollup,
         "customer_order_counts": relational.customer_order_counts,
+        # distributed dense global ranking (two-pass range partition)
+        "doc_length_rank": relational.doc_length_rank,
         # joins (broadcast + bucketed hash/semi join)
         "nation_revenue": joins.nation_revenue,
         "supplier_part_join": joins.supplier_part_join,
@@ -387,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_histogram": relational.EVENT_VALUE_HISTOGRAM_SQL,
         "customer_rollup": relational.CUSTOMER_ROLLUP_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
+        "doc_length_rank": relational.DOC_LENGTH_RANK_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "customers_with_orders": joins.CUSTOMERS_WITH_ORDERS_SQL,

@@ -553,3 +553,83 @@ SELECT CASE WHEN GROUPING(c_nationkey) = 1 THEN -1
 FROM customer
 GROUP BY ROLLUP(c_nationkey, c_mktsegment)
 """
+
+
+RANK_BAND = 64  # n_chars units per range bucket — the per-group bound dial
+
+
+def doc_length_rank(sf_dir: str, band: int = RANK_BAND):
+    """Distributed DENSE GLOBAL RANKING (total ordering) of documents by
+    (n_chars, doc_id) — the classic two-pass range-partitioned plan that
+    replaces a global sort + driver-side row numbering:
+
+    1. map-side partials count rows per value-range bucket
+       (``n_chars // band`` — monotone in the sort key, so bucket order
+       IS value order); ONE tiny aggregate exchange, then a bounded
+       driver read (≤ one row per bucket) computes prefix offsets.
+    2. rows shuffle ONCE by bucket; each group sorts its own band and
+       adds its bucket's prefix offset — no group ever sees more than a
+       band's worth of rows, and no global sort barrier exists.
+
+    Partitioning assumption (documented like the jaccard length bands):
+    per-group memory is bounded by the value density within one band ×
+    ``band``; a pathological single-value corpus lands in one group —
+    shrink ``band`` (or pre-split ties by doc_id range) for such keys.
+    Output (doc_id, n_chars, rnk), rnk = 1-based global rank."""
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "n_chars"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        b, counts = np.unique(nc // band, return_counts=True)
+        return pa.table({
+            "rbucket": pa.array(b.astype(np.int64), pa.int64()),
+            "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("rbucket")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .materialize()
+    )
+    per_bucket: dict[int, int] = {}
+    for blk in ray.get(counts.to_arrow_refs()):
+        if blk.num_rows == 0:  # trailing empty block has an empty schema
+            continue
+        per_bucket.update(zip(blk.column("rbucket").to_pylist(),
+                              blk.column("n").to_pylist()))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bk in sorted(per_bucket):
+        offsets[bk] = acc
+        acc += per_bucket[bk]
+    off_ref = ray.put(offsets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "rbucket", pa.array((nc // band).astype(np.int64), pa.int64()))
+
+    def rank_group(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = group.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        base = offs[int(g["rbucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_chars": g["n_chars"].to_numpy(np.int64),
+            "rnk": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return (
+        docs.map_batches(tag, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
+DOC_LENGTH_RANK_SQL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
+FROM documents
+"""

@@ -930,3 +930,22 @@ def test_decision_path_roundtrips_byte_identical(ray_session, con):
     _match(dehyphen_roundtrip(SF), DEHYPHEN_ROUNDTRIP_SQL, con)
     _match(pagebreak_roundtrip(SF), PAGEBREAK_ROUNDTRIP_SQL, con)
     _match(footnotes_roundtrip(SF), FOOTNOTES_ROUNDTRIP_SQL, con)
+
+
+def test_doc_length_rank_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        DOC_LENGTH_RANK_SQL,
+        doc_length_rank,
+    )
+
+    _match(doc_length_rank(SF), DOC_LENGTH_RANK_SQL, con)
+
+
+def test_doc_length_rank_narrow_band(ray_session, con):
+    # band=1: every distinct value its own group — offsets still exact
+    from pd3f_ray.pipelines.relational import (
+        DOC_LENGTH_RANK_SQL,
+        doc_length_rank,
+    )
+
+    _match(doc_length_rank(SF, band=1), DOC_LENGTH_RANK_SQL, con)

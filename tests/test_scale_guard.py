@@ -67,6 +67,9 @@ ALLOWED_MAP_GROUPS = {
     ("dedup.py", '"pbucket"'): "pair-endpoint hash bucket",
     ("dedup.py", '"gkey"'): "simhash Hamming-band key",
     ("joins.py", '"__bucket"'): "join hash bucket (+salt knob)",
+    ("relational.py", '"rbucket"'):
+        "n_chars value-range band (RANK_BAND dial); group holds one "
+        "band's rows, never the corpus",
     ("relational.py", '"event_type"'):
         "input is the DISTINCT-value count table, bounded by value "
         "cardinality, not event count",
