@@ -505,3 +505,106 @@ SELECT c_custkey, c_name, c_acctbal
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
+
+
+def full_outer_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key: str,
+    num_buckets: int = JOIN_BUCKETS,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+) -> "rd.Dataset":
+    """FULL OUTER join on a shared int64 key column (same name on both
+    sides), via the standard one-shuffle bucketed co-partitioning: an
+    unmatched row of EITHER side lands in exactly its key's bucket, so
+    the in-group pandas outer merge sees every partner it could have.
+    Non-key integer columns come back pandas-nullable (``Int64``) so the
+    block schema is identical whether or not a group had mismatches."""
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).to_numpy(zero_copy_only=False)
+            b = pa.array(_stable_bucket(keys, num_buckets), pa.int32())
+            return batch.append_column("__bucket", b).append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string())
+            )
+        return fn
+
+    def _dtypes(schema, nullable: bool):
+        out = {}
+        for name, t in zip(schema.names, schema.types):
+            d = t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t
+            if nullable and name != key and pd.api.types.is_integer_dtype(d):
+                d = "Int64"
+            out[name] = d
+        return out
+
+    left_dt = _dtypes(left_schema if left_schema is not None
+                      else left.schema().base_schema, nullable=True)
+    right_dt = _dtypes(right_schema if right_schema is not None
+                       else right.schema().base_schema, nullable=True)
+    out_dt = {**left_dt, **{k: v for k, v in right_dt.items()
+                            if k not in left_dt}}
+
+    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = (group.loc[group["__side"] == "l"]
+             .reindex(columns=list(left_dt)).astype(left_dt))
+        r = (group.loc[group["__side"] == "r"]
+             .reindex(columns=list(right_dt)).astype(right_dt))
+        out = l.merge(r, on=key, how="outer")
+        return out.reindex(columns=list(out_dt)).astype(out_dt)
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def click_purchase_matrix(sf_dir: str, num_buckets: int = 32):
+    """FULL-OUTER-join query: per-user click counts (even user ids) ⟗
+    per-user purchase counts (user ids divisible by 3) — the residue
+    filters guarantee genuinely unmatched rows on BOTH sides, which is
+    what distinguishes the operator from a left join. Each side is
+    pre-aggregated (distributive count) before the join exchange.
+    Output (user_id, n_clicks?, n_purchases?) with nullable counts."""
+    from ray.data.aggregate import Count
+
+    def side(event_type: str, residue: int, alias: str):
+        ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+        def pick(batch: pa.Table) -> pa.Table:
+            uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+            et = np.asarray(batch.column("event_type").to_pylist(),
+                            dtype=object)
+            keep = (et == event_type) & (uid % residue == 0)
+            return batch.filter(pa.array(keep)).select(["user_id"])
+
+        return (ds.map_batches(pick, batch_format="pyarrow")
+                .groupby("user_id").aggregate(Count(alias_name=alias)))
+
+    schema_l = pa.schema([("user_id", pa.int64()), ("n_clicks", pa.int64())])
+    schema_r = pa.schema([("user_id", pa.int64()),
+                          ("n_purchases", pa.int64())])
+    return full_outer_join(
+        side("click", 2, "n_clicks"), side("purchase", 3, "n_purchases"),
+        "user_id", num_buckets=num_buckets,
+        left_schema=schema_l, right_schema=schema_r,
+    )
+
+
+CLICK_PURCHASE_MATRIX_SQL = """
+WITH c AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks
+    FROM events WHERE event_type = 'click' AND user_id % 2 = 0
+    GROUP BY user_id
+), p AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+    GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       c.n_clicks, p.n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""

@@ -949,3 +949,21 @@ def test_doc_length_rank_narrow_band(ray_session, con):
     )
 
     _match(doc_length_rank(SF, band=1), DOC_LENGTH_RANK_SQL, con)
+
+
+def test_full_outer_join_oracle(ray_session, con):
+    from pd3f_ray.pipelines.joins import (
+        CLICK_PURCHASE_MATRIX_SQL,
+        click_purchase_matrix,
+    )
+
+    _match(click_purchase_matrix(SF), CLICK_PURCHASE_MATRIX_SQL, con)
+
+
+def test_full_outer_join_has_unmatched_both_sides(ray_session):
+    from pd3f_ray.pipelines.joins import click_purchase_matrix
+
+    df = click_purchase_matrix(SF).to_pandas()
+    assert df["n_clicks"].isna().any(), "no right-only rows exercised"
+    assert df["n_purchases"].isna().any(), "no left-only rows exercised"
+    assert (df["n_clicks"].notna() & df["n_purchases"].notna()).any()
