@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_join": joins.supplier_part_join,
         "customers_with_orders": joins.customers_with_orders,
         "click_purchase_matrix": joins.click_purchase_matrix,
+        "region_brand_revenue": joins.region_brand_revenue,
         # graph analytics (integer PageRank, exact vs unrolled SQL)
         "pagerank": graph.pagerank,
         # windowed / order-dependent (bucketed shuffle + in-group sort)
@@ -395,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "customers_with_orders": joins.CUSTOMERS_WITH_ORDERS_SQL,
         "click_purchase_matrix": joins.CLICK_PURCHASE_MATRIX_SQL,
+        "region_brand_revenue": joins.REGION_BRAND_REVENUE_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,

@@ -608,3 +608,103 @@ SELECT COALESCE(c.user_id, p.user_id) AS user_id,
        c.n_clicks, p.n_purchases
 FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
+
+
+def region_brand_revenue(sf_dir: str, num_buckets: int = 64):
+    """Deepest join chain in the engine (TPC-H Q5-flavor): revenue per
+    (region, part brand) — lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ region.
+    Plan: two bucketed fact⋈fact exchanges (partkey, then suppkey), with
+    a map-side partial aggregate BETWEEN them collapsing rows to
+    ≤ (suppliers × brands) per block before the second join ships
+    anything; nation⋈region (25 × 5 rows) folds to ONE broadcast dict.
+    Money travels as per-row-rounded integer cents (DuckDB round() is
+    half-away-from-zero) so the final small groupby is hash-exact.
+    Output (r_name, p_brand, revenue_cents, n_items)."""
+    lineitem = _pq(sf_dir, "lineitem",
+                   ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    part = _pq(sf_dir, "part", ["p_partkey", "p_brand"])
+    supplier = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        v = ep * (1.0 - dc) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table({
+            "l_partkey": batch.column("l_partkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    li_schema = pa.schema([("l_partkey", pa.int64()),
+                           ("l_suppkey", pa.int64()),
+                           ("cents", pa.int64())])
+    part_schema = pa.schema([("p_partkey", pa.int64()),
+                             ("p_brand", pa.string())])
+    j1 = hash_join(
+        lineitem.map_batches(to_cents, batch_format="pyarrow"), part,
+        "l_partkey", "p_partkey", num_buckets=num_buckets,
+        left_schema=li_schema, right_schema=part_schema,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["l_suppkey", "p_brand"], sort=False, as_index=False)
+             .agg(cents=("cents", "sum"), n_items=("cents", "size")))
+        g["n_items"] = g["n_items"].astype(np.int64)
+        return g
+
+    mid_schema = pa.schema([("l_suppkey", pa.int64()),
+                            ("p_brand", pa.string()),
+                            ("cents", pa.int64()),
+                            ("n_items", pa.int64())])
+    supp_schema = pa.schema([("s_suppkey", pa.int64()),
+                             ("s_nationkey", pa.int64())])
+    j2 = hash_join(
+        j1.map_batches(partial, batch_format="pandas"), supplier,
+        "l_suppkey", "s_suppkey", num_buckets=num_buckets,
+        left_schema=mid_schema, right_schema=supp_schema,
+    )
+
+    # nation ⋈ region is 25 × 5 rows — the one true broadcast
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rmap = dict(zip(region.column("r_regionkey").to_pylist(),
+                    region.column("r_name").to_pylist()))
+    n2r = {nk: rmap[rk]
+           for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
+                             nation.column("n_regionkey").to_pylist())}
+    n2r_ref = ray.put(n2r)
+
+    def to_region(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(n2r_ref)
+        nk = batch.column("s_nationkey").to_pylist()
+        return pa.table({
+            "r_name": pa.array([lookup[k] for k in nk], pa.string()),
+            "p_brand": batch.column("p_brand"),
+            "cents": batch.column("cents"),
+            "n_items": batch.column("n_items"),
+        })
+
+    return (
+        j2.map_batches(to_region, batch_format="pyarrow")
+        .groupby(["r_name", "p_brand"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"),
+                   Sum("n_items", alias_name="n_items"))
+    )
+
+
+REGION_BRAND_REVENUE_SQL = """
+SELECT r_name, p_brand,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, p_brand
+"""

@@ -20,7 +20,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def con():
     c = duckdb.connect()
     for t in ("lineitem", "orders", "customer", "events", "documents",
-              "embeddings", "nation", "supplier"):
+              "embeddings", "nation", "supplier", "part", "region"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(SF, t + '.parquet')}')"
@@ -967,3 +967,13 @@ def test_full_outer_join_has_unmatched_both_sides(ray_session):
     assert df["n_clicks"].isna().any(), "no right-only rows exercised"
     assert df["n_purchases"].isna().any(), "no left-only rows exercised"
     assert (df["n_clicks"].notna() & df["n_purchases"].notna()).any()
+
+
+def test_region_brand_revenue_oracle(ray_session, con):
+    # deepest join chain: lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ region
+    from pd3f_ray.pipelines.joins import (
+        REGION_BRAND_REVENUE_SQL,
+        region_brand_revenue,
+    )
+
+    _match(region_brand_revenue(SF), REGION_BRAND_REVENUE_SQL, con)
