@@ -194,6 +194,12 @@ def _q_footnotes_roundtrip(sf_dir: str):
     return footnotes_roundtrip(sf_dir)
 
 
+def _q_deadletter_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import deadletter_roundtrip
+
+    return deadletter_roundtrip(sf_dir)
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     from pd3f_ray.sources.jsonl import jsonl_roundtrip
 
@@ -250,6 +256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dehyphen_roundtrip": _q_dehyphen_roundtrip,
         "pagebreak_roundtrip": _q_pagebreak_roundtrip,
         "footnotes_roundtrip": _q_footnotes_roundtrip,
+        # oracle-CHECKED dead-letter semantics: poisoned payloads become
+        # error rows, surviving rows stay byte-identical in the same run
+        "deadletter_roundtrip": _q_deadletter_roundtrip,
         # oracle-CHECKED html boilerplate strip: documents wrapped in a
         # full HTML page with injected nav/sidebar/footer; the
         # main-content stage must return the body text byte-identical
@@ -364,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from pd3f_ray.pipelines.extraction import (
+        DEADLETTER_ROUNDTRIP_SQL,
         DEHYPHEN_ROUNDTRIP_SQL,
         EXTRACT_ROUNDTRIP_SQL,
         FOOTNOTES_ROUNDTRIP_SQL,
@@ -381,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "dehyphen_roundtrip": DEHYPHEN_ROUNDTRIP_SQL,
         "pagebreak_roundtrip": PAGEBREAK_ROUNDTRIP_SQL,
         "footnotes_roundtrip": FOOTNOTES_ROUNDTRIP_SQL,
+        "deadletter_roundtrip": DEADLETTER_ROUNDTRIP_SQL,
         "html_roundtrip": HTML_ROUNDTRIP_SQL,
         "html_links": HTML_LINKS_SQL,
         "q1_pricing": relational.Q1_SQL,

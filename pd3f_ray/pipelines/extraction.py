@@ -750,3 +750,68 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        || '1 see the value  2 see the data' || chr(10) AS text
 FROM documents
 """
+
+
+def deadletter_roundtrip(sf_dir: str):
+    """Oracle-checked ERROR SEMANTICS (SURVEY §7.4 hard part 5 — the
+    reference raises on degenerate docs, doc_info.py:217-233; the engine
+    must convert them to dead-letter rows WITHOUT stalling the stream):
+    every ``documents`` row gets the identity wrap, but docs with
+    ``doc_id % 7 == 0`` ship a TRUNCATED payload (unparseable JSON). The
+    stage must dead-letter exactly those rows (text NULL, error set) and
+    extract every other row byte-identically in the same execution —
+    proving one poisoned row never fails its whole batch/block. Output
+    (url, text?, failed)."""
+    import pyarrow as pa
+
+    def pages(gen, text):
+        return [{"elements": [_fx_identity_para(gen, text), _fx_dummy(gen)]}]
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        from pd3f_ray.sources.synth import FONTS, _IdGen
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls, htmls = [], []
+        for did, text in zip(ids, texts):
+            gen = _IdGen()
+            blob = _fx_dumps({"pages": pages(gen, text),
+                              "fonts": [dict(f) for f in FONTS]})
+            if did % 7 == 0:
+                blob = blob[:25]  # mid-token truncation: unparseable
+            urls.append(f"doc://{did}")
+            htmls.append(blob)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    extracted = extract_dataset(docs.map_batches(wrap, batch_format="pyarrow"))
+
+    def project(batch):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        return _pa.table({
+            "url": batch.column("url"),
+            "text": batch.column("text").cast(_pa.string()),
+            "failed": _pc.is_valid(batch.column("error")),
+        })
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+DEADLETTER_ROUNDTRIP_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE text || chr(10) || chr(10) END AS text,
+       doc_id % 7 = 0 AS failed
+FROM documents
+"""

@@ -977,3 +977,14 @@ def test_region_brand_revenue_oracle(ray_session, con):
     )
 
     _match(region_brand_revenue(SF), REGION_BRAND_REVENUE_SQL, con)
+
+
+def test_deadletter_roundtrip_oracle(ray_session, con):
+    # poisoned payloads dead-letter; survivors stay byte-identical in
+    # the SAME execution (one bad row never fails its batch)
+    from pd3f_ray.pipelines.extraction import (
+        DEADLETTER_ROUNDTRIP_SQL,
+        deadletter_roundtrip,
+    )
+
+    _match(deadletter_roundtrip(SF), DEADLETTER_ROUNDTRIP_SQL, con)
