@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only
         "knn_ivf": similarity.knn_ivf,             # approximate → rows-only
+        "kmeans_assign": similarity.kmeans_assign,  # iterative → rows-only
         # multimodal (stub decode, real actor-pool plumbing)
         "media_features": multimodal.media_features_flat,  # rows-only
         "media_kind_summary": multimodal.media_kind_summary,

@@ -346,3 +346,34 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
         .groupby("query_id")
         .map_groups(reduce_topk, batch_format="pandas")
     )
+
+
+def kmeans_assign(sf_dir: str, n_clusters: int = IVF_CLUSTERS):
+    """Clustering as a first-class op: assign EVERY embedding to its
+    nearest k-means centroid (cosine geometry). The centroids are the
+    IVF coarse quantizer's — trained driver-side on a bounded sample
+    (``_ivf_centroids``), broadcast once via ``ray.put``; assignment is
+    one vectorized matmul per batch, no exchange at all. The standard
+    shape for sharding an embedding corpus into semantically coherent
+    partitions before per-cluster processing. Output
+    (vec_id, cluster, sim) — sim = cosine to the assigned centroid,
+    rounded to 6 decimals so the value is hash-stable."""
+    centroids = _ivf_centroids(sf_dir, n_clusters=n_clusters)
+    ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ c.T
+        best = np.argmax(sims, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(best.astype(np.int64), pa.int64()),
+            "sim": pa.array(
+                np.round(sims[np.arange(len(best)), best], 6), pa.float64()),
+        })
+
+    return _emb(sf_dir).map_batches(assign, batch_format="pyarrow")

@@ -988,3 +988,17 @@ def test_deadletter_roundtrip_oracle(ray_session, con):
     )
 
     _match(deadletter_roundtrip(SF), DEADLETTER_ROUNDTRIP_SQL, con)
+
+
+def test_kmeans_assign_deterministic_and_coherent(ray_session):
+    from pd3f_ray.pipelines.similarity import kmeans_assign
+
+    a = kmeans_assign(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = kmeans_assign(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # every vector assigned, clusters used, assigned sim is the max sim
+    assert a["cluster"].nunique() > 1
+    assert (a["sim"] > -1.0001).all() and (a["sim"] < 1.0001).all()
+    # coherence: mean within-cluster sim beats the global mean pairwise
+    # sim proxy (random vectors ~0): centroids must attract
+    assert a["sim"].mean() > 0.1
