@@ -351,6 +351,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_assignment": webcurate.shuffle_assignment,
         "source_cap_sample": webcurate.source_cap_sample,
         "nfc_normalize_docs": webcurate.nfc_normalize_docs,
+        # the composed webtext flagship: dirty HTML → training text in
+        # one streaming pipeline (strip → scrub → gate → dedup),
+        # byte-per-url end-to-end oracle
+        "web_corpus_pipeline": webcurate.web_corpus_pipeline,
         # JSONL sink+source interop roundtrip (oracle-checked lossless)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
     }
@@ -451,5 +455,6 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_assignment": webcurate.SHUFFLE_ASSIGNMENT_SQL,
         "source_cap_sample": webcurate.SOURCE_CAP_SQL,
         "nfc_normalize_docs": webcurate.NFC_NORMALIZE_SQL,
+        "web_corpus_pipeline": webcurate.WEB_CORPUS_PIPELINE_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
     }

@@ -761,3 +761,134 @@ SELECT doc_id,
        nfc_normalize(text || ' e' || chr(769) || chr(8491)) AS text_norm
 FROM documents
 """
+
+
+WEBPIPE_DEDUP_BUCKETS = 256
+
+
+def web_corpus_pipeline(sf_dir: str):
+    """The composed WEB-CORPUS flagship: dirty HTML pages → training
+    text, as ONE streaming Dataset pipeline with a single end-to-end
+    SQL oracle — the webtext-axis counterpart of ``curate_docs``:
+
+      inject PII → wrap in boilerplate HTML → ``HtmlMainExtractor``
+      (main-content strip, actor pool) → ``PiiScrubber`` (actor pool)
+      → Gopher quality gate (map) → exact dedup (digest-bucketed
+      exchange, keep lowest doc_id) → (url, text)
+
+    Every stage is the already-oracle-checked implementation; this query
+    proves they COMPOSE without re-materialization (the only exchange is
+    the final dedup, and only (digest, url, text) rows reach it after
+    the quality gate has pruned). Byte-per-url oracle: the SQL chains
+    the same injection literal, the Gopher keep formula on the scrubbed
+    text, and a md5-partitioned first-row dedup."""
+    from pd3f_ray.stages.htmlmain import HtmlMainExtractor
+    from pd3f_ray.stages.pii import PiiScrubber
+    from pd3f_ray.functions.textfns import md5_hex
+    from pd3f_ray.pipelines.webtext import wrap_in_boilerplate
+
+    # TWO chained fixed actor pools must CO-schedule: each claims half
+    # the cluster's CPUs (at 0.75/actor) or the second pool can never
+    # start and the pipeline deadlocks (observed in 4-CPU test sessions
+    # with two 4-actor pools: 3 + 3 logical CPUs > 4)
+    import ray as _ray
+
+    cpus = 8
+    if _ray.is_initialized():
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    pool = max(1, cpus // 2)
+
+    stop = frozenset(GOPHER_STOPWORDS)
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, htmls = [], []
+        for d, t in zip(ids, texts):
+            dirty = (f"{t} contact doc{d}@example.com or call "
+                     f"555-0{d % 1000:03d} at 10.{d % 256}.0.1")
+            urls.append(f"doc://{d}")
+            htmls.append(wrap_in_boilerplate(dirty).encode())
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    def gate(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keep_urls, keep_texts, digests, buckets = [], [], [], []
+        for u, t in zip(urls, texts):
+            toks = t.split(" ")
+            n_words = len(toks)
+            n_chars = len(t)
+            mwl = (n_chars - (n_words - 1)) * 100 // n_words
+            dr = len(set(toks)) * 1000 // n_words
+            if not (GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS
+                    and GOPHER_MIN_MWL_X100 <= mwl <= GOPHER_MAX_MWL_X100
+                    and dr >= GOPHER_MIN_DISTINCT_X1000
+                    and not stop.isdisjoint(toks)):
+                continue
+            dig = md5_hex(t)
+            keep_urls.append(u)
+            keep_texts.append(t)
+            digests.append(dig)
+            buckets.append(int(dig[:8], 16) % WEBPIPE_DEDUP_BUCKETS)
+        return pa.table({
+            "url": pa.array(keep_urls, pa.string()),
+            "text": pa.array(keep_texts, pa.string()),
+            "digest": pa.array(digests, pa.string()),
+            "dbucket": pa.array(np.asarray(buckets, np.int64), pa.int64()),
+        })
+
+    def first_per_digest(group: pd.DataFrame) -> pd.DataFrame:
+        # lowest doc_id == lexicographic-min url is NOT true for
+        # variable-length ids ('doc://9' > 'doc://10'): rank numerically
+        ids = group["url"].str.slice(6).astype(np.int64)
+        g = group.assign(_id=ids).sort_values(["digest", "_id"],
+                                              kind="mergesort")
+        g = g[~g["digest"].duplicated(keep="first")]
+        return pd.DataFrame({"url": g["url"].to_numpy(object),
+                             "text": g["text"].to_numpy(object)})
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return (
+        docs.map_batches(wrap, batch_format="pyarrow")
+        .map_batches(HtmlMainExtractor,
+                     fn_constructor_kwargs={"joiner": " "},
+                     batch_format="pyarrow", batch_size=128,
+                     concurrency=pool, num_cpus=0.75)
+        .map_batches(PiiScrubber, batch_format="pyarrow",
+                     concurrency=pool, num_cpus=0.75, batch_size=1024)
+        .map_batches(gate, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(first_per_digest, batch_format="pandas")
+    )
+
+
+WEB_CORPUS_PIPELINE_SQL = f"""
+WITH scrubbed AS (
+  SELECT doc_id,
+         text || ' contact <EMAIL> or call <PHONE> at <IP>' AS text
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(array_length(list_distinct(string_split(text, ' ')))
+              AS BIGINT) AS n_distinct,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         list_has_any(string_split(text, ' '),
+                      {list(GOPHER_STOPWORDS)}) AS has_stopword
+  FROM scrubbed
+), kept AS (
+  SELECT doc_id, text FROM m
+  WHERE n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+    AND (n_chars - (n_words - 1)) * 100 // n_words
+        BETWEEN {GOPHER_MIN_MWL_X100} AND {GOPHER_MAX_MWL_X100}
+    AND n_distinct * 1000 // n_words >= {GOPHER_MIN_DISTINCT_X1000}
+    AND has_stopword
+)
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text
+FROM kept
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""

@@ -31,6 +31,7 @@ ALLOWED_READS = {
     ("dedup.py", "embeddings"):
         "embdup_cosine oracle anchor (embdup_lsh is the scale path)",
     ("joins.py", "nation"): "25-row dimension broadcast",
+    ("joins.py", "region"): "5-row dimension broadcast",
     ("joins.py", "customer"):
         "AQE fast path, gated on metadata row count <= BROADCAST_MAX_ROWS",
     ("relational.py", "customer"):
@@ -62,6 +63,9 @@ def test_no_driver_materialization_patterns():
 # requires consciously editing this list.
 ALLOWED_MAP_GROUPS = {
     ("curation.py", '"bucket"'): "hash bucket, count is a dial",
+    ("webcurate.py", '"dbucket"'):
+        "digest hash bucket (WEBPIPE_DEDUP_BUCKETS dial); only "
+        "quality-gate survivors' (digest, url, text) rows reach it",
     ("dedup.py", '["lang", "band"]'): "n_chars//64 band + ghost overlap",
     ("dedup.py", '"bucket"'): "LSH band/hyperplane bucket, count is a dial",
     ("dedup.py", '"pbucket"'): "pair-endpoint hash bucket",

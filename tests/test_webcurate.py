@@ -217,3 +217,24 @@ def test_split_lines_partitions_text():
     assert all(ln.count(" ") + 1 <= LINE_TOKENS for ln in lines)
     assert [ln.count(" ") + 1 for ln in lines[:-1]] == \
         [LINE_TOKENS] * (len(lines) - 1)
+
+
+def test_web_corpus_pipeline_end_to_end_oracle(ray_session, con):
+    # the composed flagship: strip -> scrub -> gate -> dedup in ONE
+    # streaming pipeline, byte-per-url vs the chained SQL
+    import pandas as pd
+
+    from pd3f_ray.pipelines.webcurate import (
+        WEB_CORPUS_PIPELINE_SQL,
+        web_corpus_pipeline,
+    )
+
+    got = (web_corpus_pipeline(SF).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    want = (con.execute(WEB_CORPUS_PIPELINE_SQL).df()
+            .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)])
+    # the gate and the dedup must both actually prune
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(got) < n_docs
