@@ -194,6 +194,12 @@ def _q_footnotes_roundtrip(sf_dir: str):
     return footnotes_roundtrip(sf_dir)
 
 
+def _q_skipline_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import skipline_roundtrip
+
+    return skipline_roundtrip(sf_dir)
+
+
 def _q_deadletter_roundtrip(sf_dir: str):
     from pd3f_ray.pipelines.extraction import deadletter_roundtrip
 
@@ -256,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dehyphen_roundtrip": _q_dehyphen_roundtrip,
         "pagebreak_roundtrip": _q_pagebreak_roundtrip,
         "footnotes_roundtrip": _q_footnotes_roundtrip,
+        "skipline_roundtrip": _q_skipline_roundtrip,
         # oracle-CHECKED dead-letter semantics: poisoned payloads become
         # error rows, surviving rows stay byte-identical in the same run
         "deadletter_roundtrip": _q_deadletter_roundtrip,
@@ -380,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
     from pd3f_ray.pipelines.extraction import (
         DEADLETTER_ROUNDTRIP_SQL,
         DEHYPHEN_ROUNDTRIP_SQL,
+        SKIPLINE_ROUNDTRIP_SQL,
         EXTRACT_ROUNDTRIP_SQL,
         FOOTNOTES_ROUNDTRIP_SQL,
         HEADERS_ROUNDTRIP_SQL,
@@ -397,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "pagebreak_roundtrip": PAGEBREAK_ROUNDTRIP_SQL,
         "footnotes_roundtrip": FOOTNOTES_ROUNDTRIP_SQL,
         "deadletter_roundtrip": DEADLETTER_ROUNDTRIP_SQL,
+        "skipline_roundtrip": SKIPLINE_ROUNDTRIP_SQL,
         "html_roundtrip": HTML_ROUNDTRIP_SQL,
         "html_links": HTML_LINKS_SQL,
         "q1_pricing": relational.Q1_SQL,

@@ -815,3 +815,37 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
        doc_id % 7 = 0 AS failed
 FROM documents
 """
+
+
+def skipline_roundtrip(sf_dir: str):
+    """Oracle-checked LINE-SKIP path (reference alphanum line filter
+    export.py:398-420 + the ``LinesWithNone`` skip-iteration semantics
+    export.py:106-151 — SURVEY §7.4 hard part 1): the fixture paragraph
+    holds [words, PUNCT-ONLY line, words]; the middle line must be
+    dropped by the alnum gate and the join decision made between its
+    NEIGHBORS (here: newline — the vertical gap across the dropped line
+    clears cascade rule 4), yielding the only mid-paragraph ``\\n`` in
+    the roundtrip suite. Byte-constant per document."""
+    from pd3f_ray.sources.synth import BODY_FONT, LINE_GAP, LINE_H, MARGIN_L, \
+        _line, _paragraph
+
+    def pages(gen, text):
+        a = _line(gen, ["the", "data", "and", "the", "table", "with"],
+                  BODY_FONT, 200.0, MARGIN_L)
+        junk = _line(gen, ["?!*", "---"], BODY_FONT,
+                     200.0 + LINE_H + LINE_GAP, MARGIN_L)
+        b = _line(gen, ["the", "value", "of", "the", "merge", "batch."],
+                  BODY_FONT, 200.0 + 2 * (LINE_H + LINE_GAP), MARGIN_L)
+        return [{"elements": [_fx_identity_para(gen, text),
+                              _paragraph(gen, [a, junk, b]), _fx_dummy(gen)]}]
+
+    return _fixture_roundtrip(sf_dir, pages)
+
+
+SKIPLINE_ROUNDTRIP_SQL = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+       text || chr(10) || chr(10)
+       || 'the data and the table with' || chr(10)
+       || 'the value of the merge batch.' || chr(10) || chr(10) AS text
+FROM documents
+"""

@@ -1002,3 +1002,14 @@ def test_kmeans_assign_deterministic_and_coherent(ray_session):
     # coherence: mean within-cluster sim beats the global mean pairwise
     # sim proxy (random vectors ~0): centroids must attract
     assert a["sim"].mean() > 0.1
+
+
+def test_skipline_roundtrip_byte_identical(ray_session, con):
+    # alnum line gate + LinesWithNone skip-iteration (hard part 1):
+    # punct-only middle line dropped, join decided between neighbors
+    from pd3f_ray.pipelines.extraction import (
+        SKIPLINE_ROUNDTRIP_SQL,
+        skipline_roundtrip,
+    )
+
+    _match(skipline_roundtrip(SF), SKIPLINE_ROUNDTRIP_SQL, con)
