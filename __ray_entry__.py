@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # so workers need no import path for any query callable
     _ship_package_by_value()
 
+    from pd3f_ray.pipelines import chunking
+
     return {
         # extraction (LM-in-the-loop; rows-only checks — no SQL equivalent)
         "extract_docs": _q_extract_docs,
@@ -272,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_roundtrip": webtext.html_roundtrip,
         # oracle-CHECKED outlink extraction (link-graph edge list)
         "html_links": webtext.html_links,
+        # anchor-text rollup over the extracted link graph (per-href
+        # link/page counts + representative anchor, exact distinct)
+        "anchor_text_corpus": webtext.anchor_text_corpus,
         # relational / wide ops (oracle-checked)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -298,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": windows.latest_event_per_user,
         "user_running_total": windows.user_running_total,
         "late_events": windows.late_events,
+        "event_sequences": windows.event_sequences,
+        # true range join (no equi-key): time-bucketed overlap plan
+        "interval_join_events": windows.interval_join_events,
         # dedup family
         "curate_docs": curation.curate_docs,
         "curate_neardup": curation.curate_neardup,
@@ -330,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus indexing (inverted index + tf-idf term weighting)
         "token_postings": indexing.token_postings,
         "tfidf_terms": indexing.tfidf_terms,
+        # context-window carving + broadcast-vocab encoding
+        "chunk_docs": chunking.chunk_docs,
+        "tokenize_docs": chunking.tokenize_docs,
         # embedding generation (actor-pool inference shape; rows-only)
         "embed_docs": embed.embed_docs_flat,
         # cardinality sketches
@@ -368,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pd3f_ray.pipelines import chunking
+    from pd3f_ray.pipelines import webtext as webtext_mod
     from pd3f_ray.pipelines import (
         curation,
         dedup,
@@ -408,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "skipline_roundtrip": SKIPLINE_ROUNDTRIP_SQL,
         "html_roundtrip": HTML_ROUNDTRIP_SQL,
         "html_links": HTML_LINKS_SQL,
+        "anchor_text_corpus": webtext_mod.ANCHOR_TEXT_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
@@ -429,6 +443,8 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "user_running_total": windows.RUNNING_TOTAL_SQL,
         "late_events": windows.LATE_EVENTS_SQL,
+        "event_sequences": windows.EVENT_SEQUENCES_SQL,
+        "interval_join_events": windows.INTERVAL_JOIN_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
         "curate_neardup": curation.CURATE_NEARDUP_SQL,
         "decontaminate_docs": curation.DECONTAMINATE_SQL,
@@ -453,6 +469,8 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": textstats.top_bigrams_sql(),
         "token_postings": indexing.TOKEN_POSTINGS_SQL,
         "tfidf_terms": indexing.TFIDF_TERMS_SQL,
+        "chunk_docs": chunking.chunk_docs_sql(),
+        "tokenize_docs": chunking.tokenize_docs_sql(),
         "knn_bruteforce": similarity.knn_sql(),
         "distinct_users": sketches.DISTINCT_USERS_SQL,
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,

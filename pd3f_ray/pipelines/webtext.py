@@ -159,3 +159,78 @@ FROM documents,
              (7, '/privacy', 'Privacy'),
              (8, '/terms', 'Terms')) v(pos, href, anchor)
 """
+
+
+# ---------------------------------------------------------------------------
+# anchor-text corpus (link-graph aggregation over extracted outlinks)
+# ---------------------------------------------------------------------------
+
+
+def anchor_text_corpus(sf_dir: str):
+    """The classic web-corpus "anchor text" rollup: aggregate the
+    extracted outlink table per target href — how many links point at
+    it, from how many distinct pages, and a representative anchor text
+    (lexicographic min, deterministic). Output
+    (href, n_links, n_pages, top_anchor).
+
+    Plan: runs the REAL ``LinkExtractor`` stage (same wrapped corpus as
+    ``html_links``), then pre-aggregates map-side per (href, url) —
+    link count + min anchor per batch — so the single ``groupby(href)``
+    exchanges move one row per distinct (href, source page), never one
+    per link occurrence; a (href, url)-keyed merge of the batch
+    partials makes each pair exactly one row (a page's links can split
+    across batch boundaries), so the final ``groupby(href)`` Count is
+    an EXACT distinct-page count (Sum/Count/Min are all
+    distributive)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    links = html_links(sf_dir)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["href", "url"]).aggregate(
+            [("anchor", "count"), ("anchor", "min")])
+        return pa.table({
+            "href": g.column("href"),
+            "url": g.column("url"),
+            "n": g.column("anchor_count").cast(pa.int64()),
+            "a": g.column("anchor_min"),
+        })
+
+    pairs = (links.map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["href", "url"])
+             .aggregate(Sum("n", alias_name="n"),
+                        Min("a", alias_name="a")))
+    agg = (pairs.groupby("href")
+           .aggregate(Sum("n", alias_name="n_links"),
+                      Count(alias_name="n_pages"),
+                      Min("a", alias_name="top_anchor")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"href": pa.array([], pa.string()),
+                             "n_links": pa.array([], pa.int64()),
+                             "n_pages": pa.array([], pa.int64()),
+                             "top_anchor": pa.array([], pa.string())})
+        return pa.table({
+            "href": batch.column("href"),
+            "n_links": batch.column("n_links").cast(pa.int64()),
+            "n_pages": batch.column("n_pages").cast(pa.int64()),
+            "top_anchor": batch.column("top_anchor"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ANCHOR_TEXT_SQL = f"""
+WITH links AS ({HTML_LINKS_SQL}),
+pairs AS (
+  SELECT href, url, count(*) AS n, min(anchor) AS a
+  FROM links GROUP BY href, url
+)
+SELECT href,
+       CAST(sum(n) AS BIGINT) AS n_links,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       min(a) AS top_anchor
+FROM pairs
+GROUP BY href
+"""

@@ -369,3 +369,184 @@ FROM (
     FROM events)
 WHERE ts < prev_max
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user ordered event sequences (session-sequence training data)
+# ---------------------------------------------------------------------------
+
+
+def event_sequences(sf_dir: str):
+    """Per-user time-ordered event-type sequence — the "user history
+    string" shape that sequence-model training data (and session-based
+    recommenders) need. Output one row per user:
+    (user_id, seq = event types joined with ',' in (ts, event_id)
+    order, n_events).
+
+    Plan: the standard ONE ``groupby(user_id % B)`` exchange; inside a
+    group, one vectorized sort by (user_id, ts, event_id) and a
+    per-user join of the type strings. Per-group memory is bounded by
+    users-per-bucket × events-per-user — the same contract as
+    ``user_sessions``. Oracle: string_agg ORDER BY (ts, event_id)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def build(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        types = g["event_type"].to_numpy()
+        # user boundaries in the sorted frame → one python join per user
+        cut = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(uid)]])
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "seq": [",".join(types[s:e]) for s, e in zip(starts, ends)],
+            "n_events": (ends - starts).astype(np.int64),
+        })
+
+    return _bucketed(ds).map_groups(
+        lambda g: build(g.drop(columns=["bucket"])),
+        batch_format="pandas",
+    )
+
+
+EVENT_SEQUENCES_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join — no equi-key, time-bucketed overlap plan
+# ---------------------------------------------------------------------------
+
+IVAL_WINDOW_MIN = 30          # window length
+IVAL_ANCHOR_MOD = 100         # every 100th event anchors a window
+IVAL_BUCKET_US = 3_600_000_000  # 1 h time buckets for the overlap shuffle
+
+
+def interval_join_events(sf_dir: str):
+    """True range join (NO equi-key): windows = [ts, ts+30 min) anchored
+    at every event with ``event_id % 100 == 0``; every event (any user)
+    whose ts falls inside a window matches it. Output per window:
+    (win_id = anchor event_id, n_events, sum_value_cents).
+
+    Ray Data has no range join; the scale plan is the classic
+    time-bucketed overlap join: each EVENT is keyed by its own 1-hour
+    bucket; each WINDOW row is REPLICATED into every hour bucket its
+    interval covers (≤ 2 for a 30-min window — replication factor =
+    window/bucket + 1, a constant); ONE ``groupby(bucket)`` exchange
+    co-locates candidates, and the in-group match is fully vectorized:
+    events sorted by ts once, ``np.searchsorted`` of window edges gives
+    each window's [lo, hi) slice, prefix sums of the sorted cent values
+    give the value sums — no per-pair work. An event lives in exactly
+    one bucket, so each (window, event) match is found exactly once;
+    per-bucket partial rows then fold in a second, window-scale
+    ``groupby(win_id)`` (the anchor event itself always matches, so no
+    window is lost to an empty-partial edge)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    win_us = IVAL_WINDOW_MIN * 60 * 1_000_000
+    ds = _events(sf_dir, ["event_id", "ts", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False) * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+        # probe side: every event in its own hour bucket
+        out_bucket = [ts // IVAL_BUCKET_US]
+        out_kind = [np.zeros(len(eid), np.int8)]
+        out_id = [eid]
+        out_ts = [ts]
+        out_cents = [cents]
+
+        # build side: windows replicated across covered hour buckets
+        anchors = eid % IVAL_ANCHOR_MOD == 0
+        ws = ts[anchors]
+        wid = eid[anchors]
+        lo = ws // IVAL_BUCKET_US
+        hi = (ws + win_us - 1) // IVAL_BUCKET_US
+        # a window touches at most floor((win-1)/bucket) + 2 buckets
+        # (offset 0 plus one per boundary it can cross)
+        for off in range(int((win_us - 1) // IVAL_BUCKET_US) + 2):
+            m = lo + off <= hi
+            out_bucket.append(lo[m] + off)
+            out_kind.append(np.ones(int(m.sum()), np.int8))
+            out_id.append(wid[m])
+            out_ts.append(ws[m])
+            out_cents.append(np.zeros(int(m.sum()), np.int64))
+
+        return pa.table({
+            "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
+            "kind": pa.array(np.concatenate(out_kind), pa.int8()),
+            "id": pa.array(np.concatenate(out_id), pa.int64()),
+            "ts_us": pa.array(np.concatenate(out_ts), pa.int64()),
+            "cents": pa.array(np.concatenate(out_cents), pa.int64()),
+        })
+
+    def match(group: pd.DataFrame) -> pd.DataFrame:
+        ev = group[group["kind"] == 0]
+        w = group[group["kind"] == 1]
+        if len(ev) == 0 or len(w) == 0:
+            return pd.DataFrame({"win_id": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "cents": pd.Series([], dtype="int64")})
+        order = np.argsort(ev["ts_us"].to_numpy(np.int64), kind="stable")
+        ets = ev["ts_us"].to_numpy(np.int64)[order]
+        ecents = ev["cents"].to_numpy(np.int64)[order]
+        csum = np.concatenate([[0], np.cumsum(ecents)])
+        ws = w["ts_us"].to_numpy(np.int64)
+        # events of THIS bucket inside [ws, ws+win): clamp to the bucket
+        # is implicit — only this bucket's events are present
+        lo = np.searchsorted(ets, ws, side="left")
+        hi = np.searchsorted(ets, ws + win_us, side="left")
+        n = (hi - lo).astype(np.int64)
+        keep = n > 0
+        return pd.DataFrame({
+            "win_id": w["id"].to_numpy(np.int64)[keep],
+            "n": n[keep],
+            "cents": (csum[hi] - csum[lo])[keep],
+        })
+
+    partials = (ds.map_batches(explode, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(match, batch_format="pandas"))
+    folded = partials.groupby("win_id").aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("cents", alias_name="sum_value_cents"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"win_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value_cents": pa.array([], pa.int64())})
+        return pa.table({
+            "win_id": batch.column("win_id").cast(pa.int64()),
+            "n_events": batch.column("n_events").cast(pa.int64()),
+            "sum_value_cents": batch.column("sum_value_cents").cast(pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+INTERVAL_JOIN_SQL = f"""
+WITH w AS (
+  SELECT event_id AS win_id, ts AS ws,
+         ts + INTERVAL {IVAL_WINDOW_MIN} MINUTE AS we
+  FROM events WHERE event_id % {IVAL_ANCHOR_MOD} = 0
+)
+SELECT w.win_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
+GROUP BY w.win_id
+"""

@@ -84,8 +84,11 @@ ALLOWED_MAP_GROUPS = {
     ("textstats.py", '"lang"'):
         "input is the per-block top-k candidate table, ≤ blocks×k rows "
         "per language, not the vocabulary",
-    # windows.py groups via _bucketed() (user_id % 256) — the groupby
-    # call is split from .map_groups, outside this regex's view
+    # windows.py mostly groups via _bucketed() (user_id % 256) — that
+    # groupby call is split from .map_groups, outside this regex's view
+    ("windows.py", '"bucket"'):
+        "interval-join 1-hour time bucket; a group holds one hour of "
+        "events + the ≤2-bucket-replicated windows touching it",
     ("pages.py", '"bucket"'): "url-hash bucket, count is a dial",
     ("webcurate.py", '"source"'):
         "input is the per-(source, lang) aggregate table — groups are "
