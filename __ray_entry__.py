@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": curation.curate_docs,
         "curate_neardup": curation.curate_neardup,
         "decontaminate_docs": curation.decontaminate_docs,
+        # incremental-crawl snapshot delta (digest diff, delta-sized out)
+        "snapshot_diff": curation.snapshot_diff,
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
         "dedup_incremental": dedup.dedup_incremental,
@@ -448,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": curation.CURATE_DOCS_SQL,
         "curate_neardup": curation.CURATE_NEARDUP_SQL,
         "decontaminate_docs": curation.DECONTAMINATE_SQL,
+        "snapshot_diff": curation.SNAPSHOT_DIFF_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,

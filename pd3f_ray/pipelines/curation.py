@@ -254,3 +254,99 @@ SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (incremental-crawl delta)
+# ---------------------------------------------------------------------------
+
+DIFF_BUCKETS = 128
+_DIFF_ADDED_MOD = 7    # docs absent from the OLD snapshot (added later)
+_DIFF_REMOVED_MOD = 4  # docs absent from the NEW snapshot (dropped)
+_DIFF_CHANGED_MOD = 3  # docs whose text changed between snapshots
+
+
+def snapshot_diff(sf_dir: str, num_buckets: int = DIFF_BUCKETS):
+    """Corpus-snapshot delta — the incremental-crawl bookkeeping step:
+    given two crawl snapshots, classify every url as added / removed /
+    changed (unchanged rows, the overwhelming majority at scale, are
+    dropped so the output is delta-sized). The two snapshots are derived
+    deterministically from ``documents`` (old = ids with id%10 != 7,
+    new = ids with id%10 != 4, text of ids with id%10 == 3 mutated in
+    the new snapshot) so DuckDB can replay the exact construction.
+
+    Plan: both snapshots reduce map-side to (doc_id, md5 digest, side)
+    rows — text never travels — and ONE ``groupby(doc_id % B)``
+    exchange co-locates each id's two sides; the in-group compare is a
+    vectorized pandas outer merge. This is the digest-diff shape of
+    ``dedup_incremental`` generalized to a three-way status. Output
+    (doc_id, status ∈ {'added','removed','changed'})."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_dig, out_side = [], [], []
+        for i, t in zip(ids, texts):
+            m = i % 10
+            if m != _DIFF_ADDED_MOD:           # present in OLD
+                out_id.append(i)
+                out_dig.append(md5_hex(t))
+                out_side.append(0)
+            if m != _DIFF_REMOVED_MOD:         # present in NEW
+                out_id.append(i)
+                out_dig.append(
+                    md5_hex(t + " v2") if m == _DIFF_CHANGED_MOD
+                    else md5_hex(t))
+                out_side.append(1)
+        import numpy as np
+
+        arr = np.asarray(out_id, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(arr, pa.int64()),
+            "dig": pa.array(out_dig, pa.string()),
+            "side": pa.array(out_side, pa.int8()),
+            "bucket": pa.array(arr % num_buckets, pa.int64()),
+        })
+
+    def diff(group: pd.DataFrame) -> pd.DataFrame:
+        old = group[group["side"] == 0][["doc_id", "dig"]]
+        new = group[group["side"] == 1][["doc_id", "dig"]]
+        m = old.merge(new, on="doc_id", how="outer",
+                      suffixes=("_o", "_n"), indicator=True)
+        status = pd.Series(
+            pd.NA, index=m.index, dtype="string")
+        status[m["_merge"] == "right_only"] = "added"
+        status[m["_merge"] == "left_only"] = "removed"
+        both = m["_merge"] == "both"
+        status[both & (m["dig_o"] != m["dig_n"])] = "changed"
+        keep = status.notna()
+        return pd.DataFrame({
+            "doc_id": m["doc_id"][keep].astype("int64"),
+            "status": status[keep].astype(object),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(lambda g: diff(g.drop(columns=["bucket"])),
+                        batch_format="pandas"))
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS dig
+  FROM documents WHERE doc_id % 10 != {_DIFF_ADDED_MOD}
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = {_DIFF_CHANGED_MOD}
+                  THEN text || ' v2' ELSE text END) AS dig
+  FROM documents WHERE doc_id % 10 != {_DIFF_REMOVED_MOD}
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.dig != n.dig
+"""

@@ -1077,3 +1077,17 @@ def test_anchor_text_corpus_oracle(ray_session, con):
     from pd3f_ray.pipelines.webtext import ANCHOR_TEXT_SQL, anchor_text_corpus
 
     _match(anchor_text_corpus(SF), ANCHOR_TEXT_SQL, con)
+
+
+def test_snapshot_diff_oracle(ray_session, con):
+    from pd3f_ray.pipelines.curation import SNAPSHOT_DIFF_SQL, snapshot_diff
+
+    _match(snapshot_diff(SF), SNAPSHOT_DIFF_SQL, con)
+
+
+def test_snapshot_diff_statuses_all_present(ray_session):
+    from pd3f_ray.pipelines.curation import snapshot_diff
+
+    df = snapshot_diff(SF).to_pandas()
+    assert set(df.status.unique()) == {"added", "removed", "changed"}
+    assert df.doc_id.is_unique
