@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": relational.customer_order_counts,
         # distributed dense global ranking (two-pass range partition)
         "doc_length_rank": relational.doc_length_rank,
+        # per-column data-quality profile (blocks×|cols| partial rows)
+        "profile_lineitem": relational.profile_lineitem,
         # joins (broadcast + bucketed hash/semi join)
         "nation_revenue": joins.nation_revenue,
         "supplier_part_join": joins.supplier_part_join,
@@ -364,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-corpus curation (CCNet/Gopher-style passes)
         "domain_stats": webcurate.domain_stats,
         "gopher_quality": webcurate.gopher_quality,
+        # within-doc duplicated-ngram fraction (Gopher repetition rule)
+        "doc_repetition": webcurate.doc_repetition,
         "pii_roundtrip": webcurate.pii_roundtrip,
         "line_dedup_docs": webcurate.line_dedup_docs,
         "pack_sequences": webcurate.pack_sequences,  # greedy → rows-only
@@ -433,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rollup": relational.CUSTOMER_ROLLUP_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "doc_length_rank": relational.DOC_LENGTH_RANK_SQL,
+        "profile_lineitem": relational.PROFILE_LINEITEM_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "customers_with_orders": joins.CUSTOMERS_WITH_ORDERS_SQL,
@@ -479,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,
         "domain_stats": webcurate.DOMAIN_STATS_SQL,
         "gopher_quality": webcurate.GOPHER_QUALITY_SQL,
+        "doc_repetition": webcurate.DOC_REPETITION_SQL,
         "pii_roundtrip": webcurate.PII_ROUNDTRIP_SQL,
         "line_dedup_docs": webcurate.LINE_DEDUP_SQL,
         "balanced_mixture": webcurate.BALANCED_MIXTURE_SQL,

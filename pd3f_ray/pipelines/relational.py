@@ -633,3 +633,78 @@ SELECT doc_id, n_chars,
        CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# column profiling (data-quality summary of a fact table)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_lineitem(sf_dir: str):
+    """Per-column data-quality profile of the lineitem measures: one
+    output row per column with (col, n_rows, n_null, min_x100,
+    max_x100, sum_x100) — values integer-scaled to cents with
+    half-away-from-zero rounding per value, so min/max/sum are exact in
+    both engines regardless of summation order.
+
+    Plan: the schema-profile pattern — per-batch partials (one tiny row
+    per (block, column): count/nulls/min/max/sum over the block's
+    values) followed by one column-keyed aggregate over blocks×|cols|
+    rows. The fact table itself never shuffles; the exchange payload is
+    metadata-sized at any corpus scale."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=list(PROFILE_COLS))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols, n, nnull, mn, mx, sm = [], [], [], [], [], []
+        for c in PROFILE_COLS:
+            arr = batch.column(c)
+            v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            null_mask = np.isnan(v)
+            vv = v[~null_mask] * 100
+            cents = (np.sign(vv) * np.floor(np.abs(vv) + 0.5)).astype(np.int64)
+            cols.append(c)
+            n.append(len(v))
+            nnull.append(int(null_mask.sum()))
+            mn.append(int(cents.min()) if len(cents) else np.iinfo(np.int64).max)
+            mx.append(int(cents.max()) if len(cents) else np.iinfo(np.int64).min)
+            sm.append(int(cents.sum()))
+        return pa.table({
+            "col": pa.array(cols, pa.string()),
+            "n_rows": pa.array(n, pa.int64()),
+            "n_null": pa.array(nnull, pa.int64()),
+            "min_x100": pa.array(mn, pa.int64()),
+            "max_x100": pa.array(mx, pa.int64()),
+            "sum_x100": pa.array(sm, pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("col")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_null", alias_name="n_null"),
+                      Min("min_x100", alias_name="min_x100"),
+                      Max("max_x100", alias_name="max_x100"),
+                      Sum("sum_x100", alias_name="sum_x100")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out = {"col": batch.column("col")}
+        for c in ("n_rows", "n_null", "min_x100", "max_x100", "sum_x100"):
+            out[c] = batch.column(c).cast(pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PROFILE_LINEITEM_SQL = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS col,
+       count(*) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(min(CAST(round({c} * 100) AS BIGINT)) AS BIGINT) AS min_x100,
+       CAST(max(CAST(round({c} * 100) AS BIGINT)) AS BIGINT) AS max_x100,
+       CAST(sum(CAST(round({c} * 100) AS BIGINT)) AS BIGINT) AS sum_x100
+FROM lineitem"""
+    for c in PROFILE_COLS
+)

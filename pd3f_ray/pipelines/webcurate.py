@@ -892,3 +892,79 @@ SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text
 FROM kept
 QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition signal (Gopher dup-ngram fraction)
+# ---------------------------------------------------------------------------
+
+REP_N = 3  # token n-gram width
+
+
+def doc_repetition(sf_dir: str, n: int = REP_N):
+    """The Gopher repetition quality signal this module's
+    ``gopher_quality`` pass doesn't cover (Rae et al. 2021 §A1.1.3,
+    "fraction of characters in duplicate n-grams", token-position
+    formulation): per document, the fraction of token-``n``-gram
+    positions whose n-gram occurs more than once IN THAT DOCUMENT.
+    Output (doc_id, n_grams, dup_positions, dup_ppm) with dup_ppm an
+    integer parts-per-million (floor division — bit-equal in both
+    engines); documents with fewer than ``n`` tokens have no n-gram
+    positions and drop out (as in the SQL).
+
+    Pure map stage — the n-gram Counter lives per document inside the
+    batch loop; nothing shuffles."""
+    from collections import Counter
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_g, out_d = [], [], []
+        for i, t in zip(ids, texts):
+            toks = t.split(" ")
+            if len(toks) < n:
+                continue
+            c = Counter(tuple(toks[j:j + n])
+                        for j in range(len(toks) - n + 1))
+            total = len(toks) - n + 1
+            dup = sum(v for v in c.values() if v > 1)
+            out_id.append(i)
+            out_g.append(total)
+            out_d.append(dup)
+        g = np.asarray(out_g, np.int64)
+        d = np.asarray(out_d, np.int64)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_grams": pa.array(g, pa.int64()),
+            "dup_positions": pa.array(d, pa.int64()),
+            "dup_ppm": pa.array(d * 1_000_000 // np.maximum(g, 1),
+                                pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        metrics, batch_format="pyarrow")
+
+
+DOC_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_extract(toks, i) || ' ' || list_extract(toks, i + 1)
+             || ' ' || list_extract(toks, i + 2) AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {REP_N - 1})) u(i)
+  WHERE len(toks) >= {REP_N}
+),
+c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_grams,
+       CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT)
+           AS dup_positions,
+       COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) * 1000000
+           // sum(cnt) AS dup_ppm
+FROM c
+GROUP BY doc_id
+"""

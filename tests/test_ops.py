@@ -1091,3 +1091,27 @@ def test_snapshot_diff_statuses_all_present(ray_session):
     df = snapshot_diff(SF).to_pandas()
     assert set(df.status.unique()) == {"added", "removed", "changed"}
     assert df.doc_id.is_unique
+
+
+def test_doc_repetition_oracle(ray_session, con):
+    from pd3f_ray.pipelines.webcurate import DOC_REPETITION_SQL, doc_repetition
+
+    _match(doc_repetition(SF), DOC_REPETITION_SQL, con)
+
+
+def test_doc_repetition_signal_nonvacuous(ray_session):
+    from pd3f_ray.pipelines.webcurate import doc_repetition
+
+    df = doc_repetition(SF).to_pandas()
+    assert (df.dup_positions > 0).any(), "no doc has repeated n-grams"
+    assert (df.dup_ppm <= 1_000_000).all()
+    assert (df.dup_ppm * df.n_grams <= df.dup_positions * 1_000_000).all()
+
+
+def test_profile_lineitem_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        PROFILE_LINEITEM_SQL,
+        profile_lineitem,
+    )
+
+    _match(profile_lineitem(SF), PROFILE_LINEITEM_SQL, con)
