@@ -355,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_agg": sketches.approx_distinct_users_agg,
         # mergeable streaming-histogram quantile sketch — rows-only
         "approx_event_quantiles": sketches.approx_event_quantiles,
+        # Bloom membership pre-filter (no-false-negative property
+        # pinned by tests) — rows-only
+        "bloom_membership": sketches.bloom_membership,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only

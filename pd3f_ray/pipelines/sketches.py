@@ -297,3 +297,135 @@ def approx_event_quantiles(sf_dir: str, nbins: int = QSKETCH_BINS):
         .groupby("event_type")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 20   # 1 Mbit → 128 KB filter
+BLOOM_K = 7              # probes per key (near-optimal for n ≈ m/10)
+_BLOOM_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_indices(h: np.ndarray) -> np.ndarray:
+    """k bit positions per 64-bit key hash (double hashing, Kirsch &
+    Mitzenmacher 2006: idx_i = h1 + i·h2 mod m). Shape (len(h), k)."""
+    h1 = _mix64(h)
+    h2 = _mix64(h ^ _BLOOM_SALT) | np.uint64(1)  # odd → full-period step
+    i = np.arange(BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(BLOOM_M_BITS)).astype(np.int64)
+
+
+def _bloom_set(bits: np.ndarray, h: np.ndarray) -> np.ndarray:
+    idx = _bloom_indices(h).ravel()
+    np.bitwise_or.at(bits, idx >> 3,
+                     (np.uint8(1) << (idx & 7).astype(np.uint8)))
+    return bits
+
+
+def _bloom_test(bits: np.ndarray, h: np.ndarray) -> np.ndarray:
+    idx = _bloom_indices(h)
+    probe = bits[idx >> 3] & (np.uint8(1) << (idx & 7).astype(np.uint8))
+    return (probe != 0).all(axis=1)
+
+
+def bloom_agg(on: str = "key_hash", alias_name: str = "bloom"):
+    """Bloom filter as a composable Ray Data ``AggregateFn``: the
+    accumulator is the m/8-byte bitmap, accumulation sets k bits per
+    key vectorized over the block, merge is elementwise OR — the same
+    distributive-register shape as ``hll_agg``, so ONE exchange of
+    one bitmap row per block builds the corpus filter."""
+    from ray.data.aggregate import AggregateFn
+
+    def _acc_block(bits: np.ndarray, block) -> np.ndarray:
+        if hasattr(block, "column"):
+            h = block.column(on).to_numpy(zero_copy_only=False)
+        else:
+            h = block[on].to_numpy()
+        return _bloom_set(bits.copy(), h.astype(np.uint64))
+
+    return AggregateFn(
+        init=lambda k: np.zeros(BLOOM_M_BITS // 8, dtype=np.uint8),
+        merge=lambda a, b: np.bitwise_or(a, b),
+        accumulate_block=_acc_block,
+        finalize=lambda bits: bits.tobytes(),
+        name=alias_name,
+    )
+
+
+BLOOM_NEG_PROBES = 2000  # synthetic non-member probes
+
+
+def bloom_membership(sf_dir: str):
+    """Approximate set membership over the corpus — the streaming
+    pre-filter a 100 TB incremental dedup runs before the exact
+    digest join (a Bloom 'no' is definitive; only 'maybe' rows pay the
+    exchange). Build: every document's text digest is hashed into ONE
+    shared 128 KB bitmap via a global ``bloom_agg`` aggregate (one
+    bitmap row per block crosses the exchange). Probe: every 10th
+    document (true members) plus BLOOM_NEG_PROBES synthetic
+    non-members, tested map-side against the ``ray.put``-broadcast
+    filter. Output (probe_id, is_member_truth, maybe). Sketch op →
+    rows-only; the no-false-negative and FP-bound properties are
+    pinned by tests."""
+    import ray
+
+    from pd3f_ray.functions.textfns import hash_bytes
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def key_hashes(batch: pa.Table) -> pa.Table:
+        hs = [hash_bytes(t.encode()) for t in
+              batch.column("text").to_pylist()]
+        return pa.table({"key_hash": pa.array(
+            np.asarray(hs, np.uint64).view(np.int64), pa.int64())})
+
+    built = docs.map_batches(key_hashes, batch_format="pyarrow") \
+                .aggregate(bloom_agg("key_hash", "bloom"))
+    bits_ref = ray.put(np.frombuffer(built["bloom"], dtype=np.uint8))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bits = _ray.get(bits_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        probe_id, truth, keys = [], [], []
+        for d, t in zip(ids, texts):
+            if d % 10 == 0:  # member probe
+                probe_id.append(f"member-{d}")
+                truth.append(True)
+                keys.append(hash_bytes(t.encode()))
+        h = np.asarray(keys, np.uint64) if keys else \
+            np.zeros(0, np.uint64)
+        maybe = _bloom_test(bits, h)
+        return pa.table({
+            "probe_id": pa.array(probe_id, pa.string()),
+            "is_member_truth": pa.array(truth, pa.bool_()),
+            "maybe": pa.array(maybe, pa.bool_()),
+        })
+
+    members = docs.map_batches(probe, batch_format="pyarrow")
+
+    # synthetic non-member probes, generated as a small parallel range
+    def negatives(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bits = _ray.get(bits_ref)
+        ids = batch.column("id").to_pylist()
+        keys = np.asarray([hash_bytes(f"bloom-negative-{i}".encode())
+                           for i in ids], np.uint64)
+        maybe = _bloom_test(bits, keys)
+        return pa.table({
+            "probe_id": pa.array([f"negative-{i}" for i in ids],
+                                 pa.string()),
+            "is_member_truth": pa.array([False] * len(ids), pa.bool_()),
+            "maybe": pa.array(maybe, pa.bool_()),
+        })
+
+    neg = rd.range(BLOOM_NEG_PROBES).map_batches(
+        negatives, batch_format="pyarrow")
+    return members.union(neg)

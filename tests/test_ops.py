@@ -1115,3 +1115,42 @@ def test_profile_lineitem_oracle(ray_session, con):
     )
 
     _match(profile_lineitem(SF), PROFILE_LINEITEM_SQL, con)
+
+
+def test_bloom_membership_properties(ray_session):
+    from pd3f_ray.pipelines.sketches import bloom_membership
+
+    df = bloom_membership(SF).to_pandas()
+    members = df[df.is_member_truth]
+    negs = df[~df.is_member_truth]
+    assert len(members) == 50 and len(negs) == 2000
+    # a Bloom filter NEVER false-negatives
+    assert members.maybe.all()
+    # at 500 keys in 2^20 bits the theoretical FP rate is ~1e-18
+    assert negs.maybe.mean() < 0.001
+
+
+def test_bloom_fp_rate_tracks_theory_at_high_fill():
+    """Insert enough keys that false positives are expected, and check
+    the measured rate lands near the theoretical (1-e^{-kn/m})^k."""
+    import math
+
+    import numpy as np
+
+    from pd3f_ray.pipelines.sketches import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        _bloom_set,
+        _bloom_test,
+    )
+
+    n = 120_000
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 2**63, size=n).astype(np.uint64)
+    bits = _bloom_set(np.zeros(BLOOM_M_BITS // 8, np.uint8), keys)
+    assert _bloom_test(bits, keys).all()  # no false negatives
+    probes = (rng.randint(0, 2**63, size=50_000).astype(np.uint64)
+              | np.uint64(1) << np.uint64(63))  # disjoint key space
+    fp = _bloom_test(bits, probes).mean()
+    theory = (1 - math.exp(-BLOOM_K * n / BLOOM_M_BITS)) ** BLOOM_K
+    assert theory / 3 < fp < theory * 3, (fp, theory)
