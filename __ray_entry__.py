@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # context-window carving + broadcast-vocab encoding
         "chunk_docs": chunking.chunk_docs,
         "tokenize_docs": chunking.tokenize_docs,
+        # the composed training-prep flagship: gate → dedup → chunk →
+        # encode in ONE streaming pipeline, end-to-end oracle
+        "training_prep_pipeline": chunking.training_prep_pipeline,
         # embedding generation (actor-pool inference shape; rows-only)
         "embed_docs": embed.embed_docs_flat,
         # cardinality sketches
@@ -482,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": indexing.TFIDF_TERMS_SQL,
         "chunk_docs": chunking.chunk_docs_sql(),
         "tokenize_docs": chunking.tokenize_docs_sql(),
+        "training_prep_pipeline": chunking.training_prep_sql(),
         "knn_bruteforce": similarity.knn_sql(),
         "distinct_users": sketches.DISTINCT_USERS_SQL,
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,

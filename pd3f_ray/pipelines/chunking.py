@@ -177,3 +177,180 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab v USING (token)
 GROUP BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# composed flagship: training-prep pipeline
+# ---------------------------------------------------------------------------
+
+PREP_DEDUP_BUCKETS = 256
+
+
+def training_prep_pipeline(sf_dir: str, size: int = CHUNK_SIZE,
+                           stride: int = CHUNK_STRIDE, v: int = VOCAB_SIZE):
+    """The composed TRAINING-PREP flagship: raw documents → model-ready
+    id sequences, as ONE streaming Dataset pipeline with a single
+    end-to-end SQL oracle — the tokenizer-side counterpart of
+    ``web_corpus_pipeline``:
+
+      Gopher quality gate (map) → exact dedup (digest-bucketed
+      exchange, keep lowest doc_id) → overlapping character chunks
+      (map) → top-V vocab encode (broadcast id map, map) →
+      (doc_id, chunk_idx, ids, n_ids)
+
+    Every stage is the already-oracle-checked implementation
+    (``gopher_quality`` keep rule, ``curate_docs`` dedup shape,
+    ``chunk_docs`` boundaries, ``tokenize_docs`` vocabulary); this
+    query proves they COMPOSE in one streaming pass — the only
+    exchanges are the vocab build (token-keyed partials, V-row result
+    broadcast once) and the digest dedup (only gate survivors'
+    (digest, doc_id, text) rows reach it)."""
+    import ray
+
+    from pd3f_ray.functions.textfns import md5_hex
+    from pd3f_ray.pipelines.webcurate import (
+        GOPHER_MAX_MWL_X100,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_X1000,
+        GOPHER_MIN_MWL_X100,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    vocab_ref = ray.put(_top_vocab(sf_dir, v))
+    stop = frozenset(GOPHER_STOPWORDS)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_txt, out_dig, out_b = [], [], [], []
+        for d, t in zip(ids, texts):
+            toks = t.split(" ")
+            n_words = len(toks)
+            mwl = (len(t) - (n_words - 1)) * 100 // n_words
+            dr = len(set(toks)) * 1000 // n_words
+            if not (GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS
+                    and GOPHER_MIN_MWL_X100 <= mwl <= GOPHER_MAX_MWL_X100
+                    and dr >= GOPHER_MIN_DISTINCT_X1000
+                    and not stop.isdisjoint(toks)):
+                continue
+            dig = md5_hex(t)
+            out_id.append(d)
+            out_txt.append(t)
+            out_dig.append(dig)
+            out_b.append(int(dig[:8], 16) % PREP_DEDUP_BUCKETS)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_txt, pa.string()),
+            "digest": pa.array(out_dig, pa.string()),
+            "dbucket": pa.array(np.asarray(out_b, np.int64), pa.int64()),
+        })
+
+    import pandas as pd
+
+    def first_per_digest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["digest", "doc_id"], kind="mergesort")
+        g = g[~g["digest"].duplicated(keep="first")]
+        return g[["doc_id", "text"]]
+
+    def chunk_encode(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_ci, out_ids, out_n = [], [], [], []
+        for d, t in zip(ids, texts):
+            n = (len(t) - 1) // stride + 1 if t else 0
+            for i in range(n):
+                c = t[i * stride: i * stride + size]
+                enc = [vocab[w] for w in c.split(" ") if w in vocab]
+                out_id.append(d)
+                out_ci.append(i)
+                out_ids.append(",".join(map(str, enc)))
+                out_n.append(len(enc))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_ci, pa.int64()),
+            "ids": pa.array(out_ids, pa.string()),
+            "n_ids": pa.array(out_n, pa.int64()),
+        })
+
+    return (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(gate, batch_format="pyarrow")
+            .groupby("dbucket")
+            .map_groups(lambda g: first_per_digest(g.drop(columns=["dbucket"])),
+                        batch_format="pandas")
+            .map_batches(chunk_encode, batch_format="pyarrow"))
+
+
+def training_prep_sql(size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
+                      v: int = VOCAB_SIZE) -> str:
+    from pd3f_ray.pipelines.webcurate import (
+        GOPHER_MAX_MWL_X100,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_X1000,
+        GOPHER_MIN_MWL_X100,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    return f"""
+WITH counts AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token != ''
+  GROUP BY token
+),
+vocab AS (
+  SELECT token,
+         row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS tid
+  FROM counts
+  ORDER BY n DESC, token ASC
+  LIMIT {v}
+),
+m AS (
+  SELECT doc_id, text,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(array_length(list_distinct(string_split(text, ' ')))
+              AS BIGINT) AS n_distinct,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         list_has_any(string_split(text, ' '),
+                      {list(GOPHER_STOPWORDS)}) AS has_stopword
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, text, md5(text) AS dig
+  FROM m
+  WHERE (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+    AND ((n_chars - (n_words - 1)) * 100 // n_words
+         BETWEEN {GOPHER_MIN_MWL_X100} AND {GOPHER_MAX_MWL_X100})
+    AND (n_distinct * 1000 // n_words >= {GOPHER_MIN_DISTINCT_X1000})
+    AND has_stopword
+),
+kept AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text,
+               row_number() OVER (PARTITION BY dig ORDER BY doc_id) AS rn
+        FROM gated)
+  WHERE rn = 1
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         substring(text, CAST(i * {stride} + 1 AS BIGINT), {size}) AS ct
+  FROM kept,
+       unnest(generate_series(
+           0, CAST(floor((length(text) - 1) / {stride}) AS BIGINT))) t(i)
+  WHERE length(text) > 0
+),
+toks AS (
+  SELECT doc_id, chunk_idx, j,
+         list_extract(string_split(ct, ' '), CAST(j AS INTEGER)) AS token
+  FROM chunks,
+       unnest(generate_series(1, len(string_split(ct, ' ')))) u(j)
+)
+SELECT t.doc_id, t.chunk_idx,
+       COALESCE(string_agg(CAST(v.tid AS VARCHAR), ',' ORDER BY t.j), '')
+           AS ids,
+       CAST(count(v.tid) AS BIGINT) AS n_ids
+FROM toks t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id, t.chunk_idx
+"""

@@ -1154,3 +1154,12 @@ def test_bloom_fp_rate_tracks_theory_at_high_fill():
     fp = _bloom_test(bits, probes).mean()
     theory = (1 - math.exp(-BLOOM_K * n / BLOOM_M_BITS)) ** BLOOM_K
     assert theory / 3 < fp < theory * 3, (fp, theory)
+
+
+def test_training_prep_pipeline_oracle(ray_session, con):
+    from pd3f_ray.pipelines.chunking import (
+        training_prep_pipeline,
+        training_prep_sql,
+    )
+
+    _match(training_prep_pipeline(SF), training_prep_sql(), con)

@@ -124,6 +124,9 @@ ALLOWED_MAP_GROUPS = {
     ("dedup.py", '"hbucket"'):
         "digest-hash bucket over (digest, doc_id) rows — text never "
         "shuffles, bucket count is a dial",
+    ("chunking.py", '"dbucket"'):
+        "digest-hash dedup bucket (PREP_DEDUP_BUCKETS dial); only "
+        "quality-gate survivors reach it",
 }
 
 
