@@ -212,6 +212,12 @@ def _q_jsonl_roundtrip(sf_dir: str):
     return jsonl_roundtrip(sf_dir)
 
 
+def _q_csv_roundtrip(sf_dir: str):
+    from pd3f_ray.sources.csvio import csv_roundtrip
+
+    return csv_roundtrip(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         curation,
@@ -385,8 +391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one streaming pipeline (strip → scrub → gate → dedup),
         # byte-per-url end-to-end oracle
         "web_corpus_pipeline": webcurate.web_corpus_pipeline,
-        # JSONL sink+source interop roundtrip (oracle-checked lossless)
+        # JSONL / CSV sink+source interop roundtrips (oracle-checked
+        # lossless, incl. CSV quoting)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
     }
 
 
@@ -420,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         PAGES_ROUNDTRIP_SQL,
     )
     from pd3f_ray.pipelines.webtext import HTML_LINKS_SQL, HTML_ROUNDTRIP_SQL
+    from pd3f_ray.sources.csvio import CSV_ROUNDTRIP_SQL
     from pd3f_ray.sources.jsonl import JSONL_ROUNDTRIP_SQL
 
     return {
@@ -500,4 +509,5 @@ def oracle_sql() -> dict[str, str]:
         "nfc_normalize_docs": webcurate.NFC_NORMALIZE_SQL,
         "web_corpus_pipeline": webcurate.WEB_CORPUS_PIPELINE_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
+        "csv_roundtrip": CSV_ROUNDTRIP_SQL,
     }
