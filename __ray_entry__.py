@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": windows.user_running_total,
         "late_events": windows.late_events,
         "event_sequences": windows.event_sequences,
+        # time-bounded ordered funnel (view → click → purchase)
+        "funnel_stages": windows.funnel_stages,
         # true range join (no equi-key): time-bucketed overlap plan
         "interval_join_events": windows.interval_join_events,
         # dedup family
@@ -466,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "user_running_total": windows.RUNNING_TOTAL_SQL,
         "late_events": windows.LATE_EVENTS_SQL,
         "event_sequences": windows.EVENT_SEQUENCES_SQL,
+        "funnel_stages": windows.FUNNEL_STAGES_SQL,
         "interval_join_events": windows.INTERVAL_JOIN_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
         "curate_neardup": curation.CURATE_NEARDUP_SQL,

@@ -550,3 +550,107 @@ SELECT w.win_id,
 FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.we
 GROUP BY w.win_id
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (ordered-stage progression per user)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOWS_MIN = (2880, 5760)  # view→click and click→purchase deadlines
+
+
+def funnel_stages(sf_dir: str):
+    """Time-bounded ordered funnel: per user, how deep did they get
+    through view → click → purchase, where each stage must occur
+    STRICTLY after the previous stage's anchor AND within its deadline
+    (click ≤ 48 h after the first view, purchase ≤ 96 h after that
+    click — first-touch semantics: stage k anchors on the earliest
+    qualifying event; ties broken by event_id). Output one row per
+    user with at least one 'view': (user_id, stage ∈ {1,2,3}).
+
+    Plan: the standard ONE ``groupby(user_id % B)`` exchange; inside a
+    group one vectorized (user, ts, event_id) sort, then a three-probe
+    forward scan per user. Oracle: chained row-value-comparison argmin
+    subqueries with the same interval bounds."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    deadlines_us = [m * 60 * 1_000_000 for m in FUNNEL_WINDOWS_MIN]
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        out_u, out_s = [], []
+        cut = np.nonzero(np.diff(uid))[0] + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(uid)]])
+        for s, e in zip(starts, ends):
+            types = et[s:e]
+            times = ts[s:e]
+            pos = 0
+            stage = 0
+            anchor_ts = None
+            for k, name in enumerate(FUNNEL_STAGES):
+                hits = np.nonzero(types[pos:] == name)[0]
+                if len(hits) == 0:
+                    break
+                i = pos + hits[0]
+                if k > 0 and times[i] - anchor_ts > deadlines_us[k - 1]:
+                    break  # first qualifying event missed the deadline
+                stage = k + 1
+                anchor_ts = times[i]
+                pos = i + 1  # strictly after the anchor
+            if stage >= 1:
+                out_u.append(int(uid[s]))
+                out_s.append(stage)
+        return pd.DataFrame({
+            "user_id": pd.Series(out_u, dtype="int64"),
+            "stage": pd.Series(out_s, dtype="int64"),
+        })
+
+    return _bucketed(ds).map_groups(
+        lambda g: scan(g.drop(columns=["bucket"])),
+        batch_format="pandas",
+    )
+
+
+FUNNEL_STAGES_SQL = f"""
+WITH fv AS (
+  SELECT user_id, ts, event_id
+  FROM (SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view')
+  WHERE rn = 1
+),
+fc AS (
+  SELECT user_id, ts, event_id
+  FROM (SELECT e.user_id, e.ts, e.event_id, fv.ts AS anchor_ts,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click'
+          AND (e.ts, e.event_id) > (fv.ts, fv.event_id))
+  WHERE rn = 1
+    AND ts <= anchor_ts + INTERVAL {FUNNEL_WINDOWS_MIN[0]} MINUTE
+),
+fp AS (
+  SELECT user_id
+  FROM (SELECT e.user_id, e.ts, fc.ts AS anchor_ts,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase'
+          AND (e.ts, e.event_id) > (fc.ts, fc.event_id))
+  WHERE rn = 1
+    AND ts <= anchor_ts + INTERVAL {FUNNEL_WINDOWS_MIN[1]} MINUTE
+)
+SELECT fv.user_id,
+       CAST(CASE WHEN fp.user_id IS NOT NULL THEN 3
+                 WHEN fc.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS stage
+FROM fv
+LEFT JOIN fc ON fv.user_id = fc.user_id
+LEFT JOIN fp ON fv.user_id = fp.user_id
+"""

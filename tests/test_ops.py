@@ -1194,3 +1194,19 @@ def test_csv_quoting_survives_roundtrip(ray_session, tmp_path):
     # sides of the interop pair must agree on the documented contract
     got = {k: (v if v is not None else "") for k, v in got.items()}
     assert got == want
+
+
+def test_funnel_stages_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import FUNNEL_STAGES_SQL, funnel_stages
+
+    _match(funnel_stages(SF), FUNNEL_STAGES_SQL, con)
+
+
+def test_funnel_stages_not_degenerate(ray_session):
+    """The deadline must actually bite: more than one distinct stage
+    on the fixture, else the time-bound is vacuous."""
+    from pd3f_ray.pipelines.windows import funnel_stages
+
+    df = funnel_stages(SF).to_pandas()
+    assert df.stage.nunique() >= 2
+    assert set(df.stage.unique()) <= {1, 2, 3}
