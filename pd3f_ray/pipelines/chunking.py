@@ -104,9 +104,11 @@ def _top_vocab(sf_dir: str, v: int):
     from pd3f_ray.pipelines.textstats import top_tokens
 
     vocab_ds = top_tokens(sf_dir, k=v)
-    blocks = ray.get(vocab_ds.to_arrow_refs())  # v rows — tiny
-    tbl = pa.concat_tables([b for b in blocks if b.num_rows],
-                           promote_options="default")
+    blocks = [b for b in ray.get(vocab_ds.to_arrow_refs())  # v rows — tiny
+              if b.num_rows]
+    if not blocks:  # empty corpus → empty vocabulary
+        return {}
+    tbl = pa.concat_tables(blocks, promote_options="default")
     # the dataset is already sorted (n desc, token asc); re-apply the
     # order across concatenated blocks for safety
     import pyarrow.compute as pc

@@ -412,18 +412,19 @@ FROM documents
 """
 
 
-def _add_url_bucket(num_buckets: int):
-    """Map-side url-hash bucket column (crc32 — stable across processes)
-    for hash-partitioned output: no extra shuffle, the partitioned write
-    splits each block by the column value."""
+def _add_key_bucket(key: str, num_buckets: int):
+    """Map-side key-hash bucket column (crc32 of the stringified key —
+    stable across processes) for hash-partitioned output: no extra
+    shuffle, the partitioned write splits each block by the column
+    value."""
     import zlib
 
     import pyarrow as pa
 
     def add(batch: pa.Table) -> pa.Table:
         b = pa.array(
-            [zlib.crc32(u.encode()) % num_buckets
-             for u in batch.column("url").to_pylist()],
+            [zlib.crc32(str(u).encode()) % num_buckets
+             for u in batch.column(key).to_pylist()],
             pa.int32(),
         )
         return batch.append_column("bucket", b)
@@ -472,9 +473,21 @@ def run_resumable(
     num_shards: int = 8,
     num_buckets: int = 16,
     max_parallel_shards: int = 1,
+    transform=None,
+    bucket_key: str = "url",
     **kw,
 ) -> dict:
     """Sharded, resumable extraction run.
+
+    ``transform`` generalizes the runner beyond extraction: any
+    ``(shard_files: list[str]) -> Dataset`` callable (a curation pass, a
+    chunk+encode pipeline, a stats projection) inherits the same
+    shard-manifest resume, atomic commit, lineage-staleness check and
+    bucketed output. ``bucket_key`` names the output column to
+    hash-partition by (an EXPLICIT knob, not probed from ``ds.schema()``
+    — the schema probe would execute the pipeline's first block twice);
+    the error count is 0 unless the written schema carries an ``error``
+    column. Default transform = the extraction pipeline.
 
     Input parquet files are deterministically grouped into shards; each
     shard is extracted as its own streaming Dataset execution and
@@ -536,9 +549,10 @@ def run_resumable(
             import shutil
 
             shutil.rmtree(tmp)
-        ds = extract_from_parquet(shard_files, opts, **kw)
+        ds = (transform(shard_files) if transform is not None
+              else extract_from_parquet(shard_files, opts, **kw))
         if num_buckets:
-            ds = ds.map_batches(_add_url_bucket(num_buckets),
+            ds = ds.map_batches(_add_key_bucket(bucket_key, num_buckets),
                                 batch_format="pyarrow")
             ds.write_parquet(tmp, partition_cols=["bucket"])
         else:
@@ -546,7 +560,9 @@ def run_resumable(
         # metadata-only row count + error count over the written shard
         written = pads.dataset(tmp, format="parquet")
         rows = written.count_rows()
-        errors = written.count_rows(filter=~pads.field("error").is_null())
+        errors = (written.count_rows(
+            filter=~pads.field("error").is_null())
+            if "error" in written.schema.names else 0)
         with manifest_lock:
             return mf.commit_shard(
                 out_dir, shard_id, tmp, shard_files,

@@ -1210,3 +1210,20 @@ def test_funnel_stages_not_degenerate(ray_session):
     df = funnel_stages(SF).to_pandas()
     assert df.stage.nunique() >= 2
     assert set(df.stage.unique()) <= {1, 2, 3}
+
+
+def test_chunking_ops_on_empty_corpus(ray_session, tmp_path):
+    """Empty input must yield empty output, not crash (the
+    empty-block/empty-schema trap class)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    pq.write_table(schema.empty_table(), str(tmp_path / "documents.parquet"))
+
+    from pd3f_ray.pipelines.chunking import chunk_docs, tokenize_docs
+
+    assert chunk_docs(str(tmp_path)).count() == 0
+    assert tokenize_docs(str(tmp_path)).count() == 0

@@ -151,3 +151,53 @@ def test_parallel_shards_match_sequential(ray_session, small_corpus_dir,
     assert s1["rows"] == s2["rows"] == 100
     assert s2["shards_done"] == 3
     assert _read_sorted(seq_dir) == _read_sorted(par_dir)
+
+
+def test_resumable_runner_generic_transform(ray_session, tmp_path):
+    """The sharded resume runner generalizes beyond extraction: a custom
+    transform (token-stats projection over the documents table) gets the
+    same manifest resume + bucketed output, no 'url'/'error' columns
+    required."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pd3f_ray.pipelines.extraction import run_resumable
+    from pd3f_ray.state.manifest import load_completed
+
+    # 4 input files of 25 docs each
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    import pyarrow.parquet as pq
+
+    for f in range(4):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(f * 25, f * 25 + 25), pa.int64()),
+            "text": pa.array([f"doc {i} text body" for i in
+                              range(f * 25, f * 25 + 25)], pa.string()),
+        }), os.path.join(src, f"part{f}.parquet"))
+
+    def stats_transform(files):
+        def stats(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(
+                    [len(t.split(" ")) for t in
+                     batch.column("text").to_pylist()], pa.int64()),
+            })
+
+        return rd.read_parquet(files).map_batches(
+            stats, batch_format="pyarrow")
+
+    out = str(tmp_path / "out")
+    r1 = run_resumable(src, out, num_shards=2, transform=stats_transform,
+                       bucket_key="doc_id")
+    assert r1["shards_done"] == 2 and r1["rows"] == 100
+    assert r1["errors"] == 0  # no error column → zero, not a crash
+    assert glob.glob(os.path.join(out, "shard=*", "bucket=*"))
+
+    # resume: everything skips, rows still reported from the manifest
+    r2 = run_resumable(src, out, num_shards=2, transform=stats_transform,
+                       bucket_key="doc_id")
+    assert r2["shards_skipped"] == 2 and r2["shards_done"] == 0
+    assert r2["rows"] == 100
+    assert len(load_completed(out)) == 2
