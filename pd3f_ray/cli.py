@@ -15,6 +15,9 @@ Commands:
                    sketches/curation/...) over an sf-dir of parquet
                    tables; ``--out DIR`` writes parquet, else prints
                    the row count. ``query list`` prints the registry.
+  compact IN OUT   coalesce a small-files parquet directory into
+                   ~target-MB files (--target-mb, default 128) —
+                   the operational follow-up to K-way sharded runs
 """
 
 from __future__ import annotations
@@ -118,6 +121,14 @@ def cmd_query(args) -> dict:
     return {"query": args.name, "rows": int(n)}
 
 
+def cmd_compact(args) -> dict:
+    from pd3f_ray.pipelines.extraction import compact_parquet
+
+    _init_ray(args.cpus)
+    return compact_parquet(args.input, args.output,
+                           target_mb=args.target_mb)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pd3f_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -147,6 +158,13 @@ def main(argv=None) -> int:
     q.add_argument("--out", default=None)
     q.add_argument("--cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="coalesce small parquet files")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     result = args.fn(args)

@@ -584,6 +584,45 @@ def run_resumable(
     return total
 
 
+def compact_parquet(in_dir: str, out_dir: str,
+                    target_mb: int = 128) -> dict:
+    """Small-files compaction — the operational follow-up to a sharded
+    resumable run: a K-way-parallel job over many shards leaves many
+    small parquet files, and at 100 TB the file count itself becomes
+    the bottleneck (metadata reads, task-per-file scheduling). Coalesce
+    a parquet directory into ~``target_mb``-sized files: the target
+    block count comes from parquet METADATA byte sizes (no data read on
+    the driver), then one streaming read → ``repartition`` →
+    ``write_parquet``. Returns {files_in, files_out, bytes, rows}.
+
+    The repartition is an exchange by design — compaction IS a data
+    movement job; run it once per output generation, not per query."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    files = sorted(_glob.glob(os.path.join(in_dir, "**", "*.parquet"),
+                              recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {in_dir}")
+    total_bytes = 0
+    rows = 0
+    for f in files:
+        md = _pq.read_metadata(f)
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            total_bytes += md.row_group(rg).total_byte_size
+    blocks = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    ds = _rd.read_parquet(files).repartition(blocks)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    files_out = len(_glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                               recursive=True))
+    return {"files_in": len(files), "files_out": files_out,
+            "bytes": total_bytes, "rows": rows}
+
+
 def _fixture_roundtrip(sf_dir: str, build_pages, opts: ExtractOptions | None = None):
     """Shared harness for the decision-path roundtrips below: wrap every
     ``documents`` row into ``build_pages(gen, text)``-built pages (page 0

@@ -201,3 +201,28 @@ def test_resumable_runner_generic_transform(ray_session, tmp_path):
     assert r2["shards_skipped"] == 2 and r2["shards_done"] == 0
     assert r2["rows"] == 100
     assert len(load_completed(out)) == 2
+
+
+def test_compact_parquet_coalesces(ray_session, tmp_path):
+    """Many small files → few target-sized files, rows and values
+    preserved."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.extraction import compact_parquet
+
+    src = str(tmp_path / "frag")
+    os.makedirs(src)
+    for f in range(20):
+        pq.write_table(pa.table({
+            "k": pa.array(range(f * 50, f * 50 + 50), pa.int64()),
+            "v": pa.array([f"row {i}" for i in range(50)], pa.string()),
+        }), os.path.join(src, f"tiny{f:02d}.parquet"))
+
+    out = str(tmp_path / "compact")
+    stats = compact_parquet(src, out, target_mb=128)
+    assert stats["files_in"] == 20 and stats["rows"] == 1000
+    assert stats["files_out"] < 20
+    t = pads.dataset(out, format="parquet").to_table()
+    assert t.num_rows == 1000
+    assert sorted(t.column("k").to_pylist()) == list(range(0, 950 + 50))
