@@ -560,6 +560,30 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 FUNNEL_WINDOWS_MIN = (2880, 5760)  # view→click and click→purchase deadlines
 
 
+def _funnel_user_stage(types: np.ndarray, times_us: np.ndarray,
+                       deadlines_us) -> int:
+    """Pure per-user funnel scan over a (ts, event_id)-sorted event
+    slice: anchor each stage on the FIRST qualifying event strictly
+    after the previous anchor; a stage whose first qualifying event
+    misses its deadline fails (later in-deadline events do not rescue
+    it — first-touch semantics, matching the SQL's rn=1 + deadline
+    filter). Returns 0..len(FUNNEL_STAGES)."""
+    pos = 0
+    stage = 0
+    anchor_ts = None
+    for k, name in enumerate(FUNNEL_STAGES):
+        hits = np.nonzero(types[pos:] == name)[0]
+        if len(hits) == 0:
+            break
+        i = pos + hits[0]
+        if k > 0 and times_us[i] - anchor_ts > deadlines_us[k - 1]:
+            break  # first qualifying event missed the deadline
+        stage = k + 1
+        anchor_ts = times_us[i]
+        pos = i + 1  # strictly after the anchor
+    return stage
+
+
 def funnel_stages(sf_dir: str):
     """Time-bounded ordered funnel: per user, how deep did they get
     through view → click → purchase, where each stage must occur
@@ -586,21 +610,7 @@ def funnel_stages(sf_dir: str):
         starts = np.concatenate([[0], cut])
         ends = np.concatenate([cut, [len(uid)]])
         for s, e in zip(starts, ends):
-            types = et[s:e]
-            times = ts[s:e]
-            pos = 0
-            stage = 0
-            anchor_ts = None
-            for k, name in enumerate(FUNNEL_STAGES):
-                hits = np.nonzero(types[pos:] == name)[0]
-                if len(hits) == 0:
-                    break
-                i = pos + hits[0]
-                if k > 0 and times[i] - anchor_ts > deadlines_us[k - 1]:
-                    break  # first qualifying event missed the deadline
-                stage = k + 1
-                anchor_ts = times[i]
-                pos = i + 1  # strictly after the anchor
+            stage = _funnel_user_stage(et[s:e], ts[s:e], deadlines_us)
             if stage >= 1:
                 out_u.append(int(uid[s]))
                 out_s.append(stage)

@@ -384,3 +384,46 @@ def test_positional_shingles_consistent_with_set_form(toks, k):
         for i in range(len(hs)):
             window = toks[i:i + k]
             assert hs[i] == shingle_hash_positions(window, k)[0]
+
+
+# ---------------------------------------------------------------------------
+# funnel scan vs brute-force reference
+# ---------------------------------------------------------------------------
+
+
+def _funnel_brute(types, times, deadlines):
+    """Reference: enumerate — stage k anchors on the first event of its
+    type strictly after the previous anchor; it must be within the
+    deadline or the funnel stops."""
+    anchor = None
+    stage = 0
+    start = 0
+    from pd3f_ray.pipelines.windows import FUNNEL_STAGES
+
+    for k, name in enumerate(FUNNEL_STAGES):
+        cand = [i for i in range(start, len(types)) if types[i] == name]
+        if not cand:
+            break
+        i = cand[0]
+        if k > 0 and times[i] - anchor > deadlines[k - 1]:
+            break
+        stage, anchor, start = k + 1, times[i], i + 1
+    return stage
+
+
+@given(st.lists(st.tuples(st.sampled_from(["view", "click", "purchase",
+                                           "error", "signup"]),
+                          st.integers(0, 10_000)),
+                min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_funnel_scan_matches_brute_force(events):
+    import numpy as np
+
+    from pd3f_ray.pipelines.windows import _funnel_user_stage
+
+    events = sorted(events, key=lambda e: e[1])
+    types = np.array([e[0] for e in events], dtype=object)
+    times = np.array([e[1] for e in events], dtype=np.int64)
+    deadlines = [1_000, 2_000]
+    assert (_funnel_user_stage(types, times, deadlines)
+            == _funnel_brute(list(types), list(times), deadlines))
