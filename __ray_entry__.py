@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # anchor-text rollup over the extracted link graph (per-href
         # link/page counts + representative anchor, exact distinct)
         "anchor_text_corpus": webtext.anchor_text_corpus,
+        # crawl-key URL canonicalization (RFC-3986 folds, oracle-exact)
+        "url_normalize": webtext.url_normalize,
         # relational / wide ops (oracle-checked)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -445,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "html_roundtrip": HTML_ROUNDTRIP_SQL,
         "html_links": HTML_LINKS_SQL,
         "anchor_text_corpus": webtext_mod.ANCHOR_TEXT_SQL,
+        "url_normalize": webtext_mod.URL_NORMALIZE_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,

@@ -234,3 +234,52 @@ SELECT href,
 FROM pairs
 GROUP BY href
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-key normalization)
+# ---------------------------------------------------------------------------
+
+
+def url_normalize(sf_dir: str):
+    """Crawl-key canonicalization through the real, general-purpose
+    ``functions.urls.normalize_url`` (RFC-3986 case folding, default
+    ports, fragments, utm_* tracking params, doubled slashes — see the
+    module docstring for what is deliberately NOT folded): each
+    document gets a deterministically dirtied URL, the stage must
+    produce the canonical form exactly. Pure map, no exchange. Output
+    (doc_id, url, url_norm, host); oracle = the same construction and
+    its closed-form normalization as SQL string concatenation."""
+    from pd3f_ray.functions.urls import normalize_url, url_host
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        urls = [
+            f"HTTP://Src{d % 20}.Example.COM:80/path//{d}/"
+            f"?utm_source=x&q={d}#frag"
+            for d in ids
+        ]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "url_norm": pa.array([normalize_url(u) for u in urls],
+                                 pa.string()),
+            "host": pa.array([url_host(u) for u in urls], pa.string()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+URL_NORMALIZE_SQL = """
+SELECT doc_id,
+       'HTTP://Src' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM:80/path//'
+           || CAST(doc_id AS VARCHAR) || '/?utm_source=x&q='
+           || CAST(doc_id AS VARCHAR) || '#frag' AS url,
+       'http://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/path/'
+           || CAST(doc_id AS VARCHAR) || '/?q='
+           || CAST(doc_id AS VARCHAR) AS url_norm,
+       'src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host
+FROM documents
+"""

@@ -1227,3 +1227,35 @@ def test_chunking_ops_on_empty_corpus(ray_session, tmp_path):
 
     assert chunk_docs(str(tmp_path)).count() == 0
     assert tokenize_docs(str(tmp_path)).count() == 0
+
+
+def test_url_normalize_oracle(ray_session, con):
+    from pd3f_ray.pipelines.webtext import URL_NORMALIZE_SQL, url_normalize
+
+    _match(url_normalize(SF), URL_NORMALIZE_SQL, con)
+
+
+def test_normalize_url_edge_cases():
+    from pd3f_ray.functions.urls import normalize_url, url_host
+
+    cases = {
+        # default ports dropped per scheme; non-default kept
+        "HTTP://Host.COM:80/a": "http://host.com/a",
+        "https://host.com:443/a": "https://host.com/a",
+        "http://host.com:8080/a": "http://host.com:8080/a",
+        "https://host.com:80/a": "https://host.com:80/a",
+        # fragment and utm params dropped; other params keep ORDER
+        "http://h.com/p?b=2&utm_campaign=z&a=1#frag": "http://h.com/p?b=2&a=1",
+        # blank values survive; empty path becomes /
+        "http://h.com?k=": "http://h.com/?k=",
+        "http://h.com": "http://h.com/",
+        # slash runs collapse, trailing slash kept
+        "http://h.com//a///b/": "http://h.com/a/b/",
+        # idempotent on its own output
+        "http://host.com:8080/a?x=1": "http://host.com:8080/a?x=1",
+    }
+    for raw, want in cases.items():
+        got = normalize_url(raw)
+        assert got == want, (raw, got, want)
+        assert normalize_url(got) == got  # idempotent
+    assert url_host("HTTPS://WWW.Ex.COM:444/x") == "www.ex.com"
