@@ -170,6 +170,12 @@ def _q_pages_roundtrip(sf_dir: str):
     return pages_roundtrip(sf_dir)
 
 
+def _q_pages_staged_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import pages_staged_roundtrip
+
+    return pages_staged_roundtrip(sf_dir)
+
+
 def _q_headers_roundtrip(sf_dir: str):
     from pd3f_ray.pipelines.extraction import headers_roundtrip
 
@@ -259,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pushed through the REAL bucketed sort-shuffle + fused reduce
         # (extract_pages_fused); driver hash-compares text byte-per-url
         "pages_roundtrip": _q_pages_roundtrip,
+        # same fixture+oracle through the UN-fused plan (assemble
+        # shuffle → actor pool): both physical plans byte-equivalent
+        "pages_staged_roundtrip": _q_pages_staged_roundtrip,
         # oracle-CHECKED header/footer machinery: two-page wrap with
         # repeated isHeader/isFooter groups; near-dup dedup + placement
         # must reproduce the SQL-expressible render byte-per-url
@@ -438,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
         "pages_roundtrip": PAGES_ROUNDTRIP_SQL,
+        "pages_staged_roundtrip": PAGES_ROUNDTRIP_SQL,
         "headers_roundtrip": HEADERS_ROUNDTRIP_SQL,
         "dehyphen_roundtrip": DEHYPHEN_ROUNDTRIP_SQL,
         "pagebreak_roundtrip": PAGEBREAK_ROUNDTRIP_SQL,

@@ -199,7 +199,7 @@ FROM documents
 """
 
 
-def pages_roundtrip(sf_dir: str):
+def _pages_roundtrip_input(sf_dir: str):
     """Oracle-checkable end-to-end exercise of the PAGE-TABLE path —
     the engine's one real shuffle (``extract_pages_fused``,
     stages/pages.py): every ``documents`` row is split at the word
@@ -229,7 +229,7 @@ def pages_roundtrip(sf_dir: str):
         _line,
         _paragraph,
     )
-    from pd3f_ray.stages.pages import _dumps, extract_pages_fused
+    from pd3f_ray.stages.pages import _dumps
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -275,19 +275,39 @@ def pages_roundtrip(sf_dir: str):
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text", "lang"])
-    extracted = extract_pages_fused(
-        docs.map_batches(explode, batch_format="pyarrow")
-    )
+    return docs.map_batches(explode, batch_format="pyarrow")
 
-    def project(batch):
-        import pyarrow as _pa
 
-        return _pa.table({
-            "url": batch.column("url"),
-            "text": batch.column("text").cast(_pa.string()),
-        })
+def _project_url_text(batch):
+    import pyarrow as _pa
 
-    return extracted.map_batches(project, batch_format="pyarrow")
+    return _pa.table({
+        "url": batch.column("url"),
+        "text": batch.column("text").cast(_pa.string()),
+    })
+
+
+def pages_roundtrip(sf_dir: str):
+    """Fused-plan exercise of the page-table shuffle (see
+    ``_pages_roundtrip_input`` for the fixture and why the oracle is
+    exact): compressed exchange + extraction inside the shuffle-reduce
+    tasks (``extract_pages_fused``)."""
+    from pd3f_ray.stages.pages import extract_pages_fused
+
+    extracted = extract_pages_fused(_pages_roundtrip_input(sf_dir))
+    return extracted.map_batches(_project_url_text, batch_format="pyarrow")
+
+
+def pages_staged_roundtrip(sf_dir: str):
+    """STAGED-plan exercise of the page-table path over the same
+    fixture and oracle as ``pages_roundtrip``: the un-fused
+    ``assemble_pages_dataset`` shuffle (bucketed groupby → document
+    reassembly rows) followed by the ``ExtractDocs`` actor pool —
+    proving the two physical plans are byte-equivalent per url, not
+    just the fused one the engine defaults to."""
+    assembled = assemble_pages_dataset(_pages_roundtrip_input(sf_dir))
+    extracted = extract_dataset(assembled)
+    return extracted.map_batches(_project_url_text, batch_format="pyarrow")
 
 
 PAGES_ROUNDTRIP_SQL = """

@@ -1259,3 +1259,12 @@ def test_normalize_url_edge_cases():
         assert got == want, (raw, got, want)
         assert normalize_url(got) == got  # idempotent
     assert url_host("HTTPS://WWW.Ex.COM:444/x") == "www.ex.com"
+
+
+def test_pages_staged_roundtrip_byte_identical(ray_session, con):
+    from pd3f_ray.pipelines.extraction import (
+        PAGES_ROUNDTRIP_SQL,
+        pages_staged_roundtrip,
+    )
+
+    _match(pages_staged_roundtrip(SF), PAGES_ROUNDTRIP_SQL, con)
