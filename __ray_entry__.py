@@ -294,6 +294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text_corpus": webtext.anchor_text_corpus,
         # crawl-key URL canonicalization (RFC-3986 folds, oracle-exact)
         "url_normalize": webtext.url_normalize,
+        # crawl snapshot consolidation: keep-latest per canonical URL,
+        # argmax as ONE packed-int64 Max combiner aggregate
+        "url_dedup_latest": webtext.url_dedup_latest,
         # relational / wide ops (oracle-checked)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -313,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": joins.customers_with_orders,
         "click_purchase_matrix": joins.click_purchase_matrix,
         "region_brand_revenue": joins.region_brand_revenue,
+        # TPC-H Q3-flavor: pushed-down filters + AQE semi/broadcast +
+        # pre-aggregated hash join + per-block top-k partials
+        "q3_shipping_priority": joins.q3_shipping_priority,
         # graph analytics (integer PageRank, exact vs unrolled SQL)
         "pagerank": graph.pagerank,
         # windowed / order-dependent (bucketed shuffle + in-group sort)
@@ -323,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": windows.user_running_total,
         "late_events": windows.late_events,
         "event_sequences": windows.event_sequences,
+        # per-user inter-arrival gap stats (lag() as a distributed op)
+        "event_gaps": windows.event_gaps,
         # time-bounded ordered funnel (view → click → purchase)
         "funnel_stages": windows.funnel_stages,
         # true range join (no equi-key): time-bucketed overlap plan
@@ -335,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": curation.snapshot_diff,
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
+        # keep-BEST-per-group policy dedup (argmax via packed-int64 Max)
+        "dedup_keep_best": dedup.dedup_keep_best,
         "dedup_incremental": dedup.dedup_incremental,
         "jaccard_pairs": dedup.jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -458,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "html_links": HTML_LINKS_SQL,
         "anchor_text_corpus": webtext_mod.ANCHOR_TEXT_SQL,
         "url_normalize": webtext_mod.URL_NORMALIZE_SQL,
+        "url_dedup_latest": webtext_mod.URL_DEDUP_LATEST_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
@@ -473,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": joins.CUSTOMERS_WITH_ORDERS_SQL,
         "click_purchase_matrix": joins.CLICK_PURCHASE_MATRIX_SQL,
         "region_brand_revenue": joins.REGION_BRAND_REVENUE_SQL,
+        "q3_shipping_priority": joins.Q3_SHIPPING_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
@@ -481,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "user_running_total": windows.RUNNING_TOTAL_SQL,
         "late_events": windows.LATE_EVENTS_SQL,
         "event_sequences": windows.EVENT_SEQUENCES_SQL,
+        "event_gaps": windows.EVENT_GAPS_SQL,
         "funnel_stages": windows.FUNNEL_STAGES_SQL,
         "interval_join_events": windows.INTERVAL_JOIN_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
@@ -489,6 +502,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": curation.SNAPSHOT_DIFF_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
+        "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),

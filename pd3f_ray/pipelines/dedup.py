@@ -1062,3 +1062,80 @@ FROM new
 WHERE text_hash NOT IN (SELECT h FROM state)
 GROUP BY text_hash
 """
+
+
+# ---------------------------------------------------------------------------
+# policy dedup: keep the BEST document per duplicate group (argmax, not min)
+# ---------------------------------------------------------------------------
+
+_PACK_SHIFT = 33  # doc_id < 2^33, n_chars < 2^30 → packed fits int64
+
+
+def dedup_keep_best(sf_dir: str):
+    """Curation-grade dedup policy: within each duplicate group keep
+    the HIGHEST-QUALITY member (longest document; doc_id ascending as
+    the tiebreak), not the arbitrary smallest id. Groups are the same
+    first-``PREFIX_K``-token prefix key as :func:`dedup_prefix`.
+
+    Scale shape: the per-group argmax travels as ONE packed int64
+    (``n_chars << 33  -  doc_id``) so the whole policy is a plain
+    ``Max`` combiner aggregate — partial-aggregated inside every map
+    task before the digest-keyed exchange, no ``map_groups``, no group
+    materialization. Output (prefix_hash, n_docs, best_id, best_chars);
+    oracle = the identical packing arithmetic in SQL."""
+    from ray.data.aggregate import Count, Max
+
+    ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def digest(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        keys = [md5_hex(" ".join(t.split(" ")[:PREFIX_K])) for t in texts]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        packed = (nch.astype(np.int64) << _PACK_SHIFT) - ids.astype(np.int64)
+        return pa.table({
+            "prefix_hash": pa.array(keys, pa.string()),
+            "packed": pa.array(packed, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("prefix_hash")
+        .aggregate(Max("packed", alias_name="packed"),
+                   Count(alias_name="n_docs"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        p = batch.column("packed").to_numpy(zero_copy_only=False)
+        best_chars = -((-p) >> _PACK_SHIFT)  # ceil(p / 2^33)
+        best_id = (best_chars << _PACK_SHIFT) - p
+        return pa.table({
+            "prefix_hash": batch.column("prefix_hash"),
+            "n_docs": batch.column("n_docs"),
+            "best_id": pa.array(best_id, pa.int64()),
+            "best_chars": pa.array(best_chars, pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH keyed AS (
+  SELECT md5(array_to_string(string_split(text, ' ')[1:{PREFIX_K}], ' '))
+             AS prefix_hash,
+         n_chars * {1 << _PACK_SHIFT} - doc_id AS packed
+  FROM documents
+),
+agg AS (
+  SELECT prefix_hash,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         max(packed) AS packed
+  FROM keyed
+  GROUP BY prefix_hash
+)
+SELECT prefix_hash, n_docs,
+       CAST(CAST(ceil(packed / {(1 << _PACK_SHIFT)}.0) AS BIGINT)
+                * {1 << _PACK_SHIFT} - packed AS BIGINT) AS best_id,
+       CAST(ceil(packed / {(1 << _PACK_SHIFT)}.0) AS BIGINT) AS best_chars
+FROM agg
+"""

@@ -708,3 +708,163 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# Q3-flavor: shipping-priority top-k (selective filters + semi + hash join)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-07-01"
+Q3_TOPK = 10
+
+
+def q3_shipping_priority(sf_dir: str, num_buckets: int = JOIN_BUCKETS,
+                         broadcast_customer: bool | None = None):
+    """TPC-H Q3-flavor: the k highest-revenue orders from one market
+    segment that were placed before the cutoff but (partly) shipped
+    after it. The plan is the selective-filter showcase:
+
+    - every filter is PUSHED INTO THE READ (segment on customer,
+      orderdate on orders, shipdate on lineitem) — only qualifying
+      row groups leave storage;
+    - the filtered customer side passes through the AQE gate: broadcast
+      its custkey set when parquet metadata says it fits, else the
+      bucketed SEMI join (both paths oracle-exact);
+    - lineitem revenue is pre-aggregated per orderkey inside
+      map_batches BEFORE the orders hash join ships anything;
+    - the final top-k uses per-block top-k partials after the orderkey
+      aggregate, so the global sort only ever sees ≤ blocks×k rows.
+
+    Output (l_orderkey, o_orderdate, revenue_cents)."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Max, Sum as _Sum
+
+    cutoff = _dt.datetime.fromisoformat(Q3_CUTOFF)
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < cutoff,
+    )
+
+    if broadcast_customer is None:
+        broadcast_customer = should_broadcast(sf_dir, "customer")
+
+    if broadcast_customer:
+        import pyarrow.parquet as pq
+
+        ct = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+            filters=pads.field("c_mktsegment") == Q3_SEGMENT,
+        )
+        keys_ref = ray.put(np.sort(
+            ct.column("c_custkey").to_numpy(zero_copy_only=False)))
+
+        def keep_segment(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)  # sorted int64 array, put ONCE
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            mask = np.isin(ck, keys, assume_unique=False)
+            return batch.filter(pa.array(mask))
+
+        orders_seg = orders.map_batches(keep_segment, batch_format="pyarrow")
+    else:
+        cust = rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey"],
+            filter=pads.field("c_mktsegment") == Q3_SEGMENT,
+        )
+        orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                                   ("o_custkey", pa.int64()),
+                                   ("o_orderdate", pa.timestamp("us"))])
+        orders_seg = semi_join(orders, cust, "o_custkey", "c_custkey",
+                               num_buckets=num_buckets,
+                               left_schema=orders_schema)
+
+    lineitem = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        v = ep * (1.0 - dc) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"),
+                      "cents": pa.array(cents, pa.int64())})
+        return (t.group_by("l_orderkey")
+                .aggregate([("cents", "sum")])
+                .rename_columns(["l_orderkey", "cents"]))
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("cents", pa.int64())])
+
+    def orders_proj(batch: pa.Table) -> pa.Table:
+        date_us = pc.cast(batch.column("o_orderdate"), pa.int64())
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "date_us": date_us})
+
+    o_schema = pa.schema([("o_orderkey", pa.int64()),
+                          ("date_us", pa.int64())])
+
+    joined = hash_join(
+        lineitem.map_batches(li_partial, batch_format="pyarrow"),
+        orders_seg.map_batches(orders_proj, batch_format="pyarrow"),
+        "l_orderkey", "o_orderkey", num_buckets=num_buckets,
+        left_schema=li_schema, right_schema=o_schema,
+    )
+
+    totals = joined.groupby("l_orderkey").aggregate(
+        _Sum("cents", alias_name="revenue_cents"),
+        Max("date_us", alias_name="date_us"),  # constant per order
+    )
+
+    k = Q3_TOPK
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        order = pc.sort_indices(
+            batch,
+            sort_keys=[("revenue_cents", "descending"),
+                       ("l_orderkey", "ascending")],
+        )
+        return batch.take(order[:k])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "o_orderdate": pc.cast(batch.column("date_us"),
+                                   pa.timestamp("us")),
+            "revenue_cents": batch.column("revenue_cents"),
+        })
+
+    return (
+        totals.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+Q3_SHIPPING_SQL = f"""
+SELECT l.l_orderkey AS l_orderkey,
+       o.o_orderdate AS o_orderdate,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate  > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT {Q3_TOPK}
+"""

@@ -283,3 +283,89 @@ SELECT doc_id,
        'src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# crawl snapshot consolidation: keep-latest per canonical URL
+# ---------------------------------------------------------------------------
+
+_SNAP_BASE = 1_600_000_000  # fixture epoch base (sec)
+_SNAP_VARIANTS = 3
+
+
+def url_dedup_latest(sf_dir: str):
+    """Crawl snapshot consolidation — the dedup every multi-crawl corpus
+    needs: the same logical page is fetched repeatedly under noisy URL
+    variants (tracking params, case, default ports, doubled slashes);
+    keep ONE row per canonical URL, the latest fetch.
+
+    Fixture: each document yields 3 deterministic dirty variants that
+    all canonicalize (via the real ``functions.urls.normalize_url``) to
+    the same key, each with a distinct fetch_time whose winner varies
+    by doc. Plan: map-side explode + normalize, then ONE
+    ``groupby(url_norm)`` exchange carrying (key, packed) — the winning
+    (fetch_time, variant) travels as a single packed int64 so the
+    argmax is a plain ``Max`` combiner aggregate (no map_groups, no
+    per-group state). Output (url_norm, n_snapshots, latest_fetch_time,
+    latest_variant); oracle = the same 3-variant snapshot table built
+    in SQL + ``max``/``arg_max``."""
+    import numpy as np
+    from ray.data.aggregate import Count, Max
+
+    from pd3f_ray.functions.urls import normalize_url
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keys, packed = [], []
+        for d in ids:
+            d = int(d)
+            raw = [
+                f"http://snap{d % 50}.example.com/a/{d}?utm_source=feed",
+                f"HTTP://Snap{d % 50}.Example.COM/a/{d}#top",
+                f"http://snap{d % 50}.example.com:80/a//{d}",
+            ]
+            for v, u in enumerate(raw):
+                ft = _SNAP_BASE + ((d + v) % 3) * 3600 + v
+                keys.append(normalize_url(u))
+                packed.append(ft * 4 + v)
+        return pa.table({
+            "url_norm": pa.array(keys, pa.string()),
+            "packed": pa.array(np.asarray(packed, np.int64), pa.int64()),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("url_norm")
+        .aggregate(Max("packed", alias_name="packed"),
+                   Count(alias_name="n_snapshots"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        p = batch.column("packed").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url_norm": batch.column("url_norm"),
+            "n_snapshots": batch.column("n_snapshots"),
+            "latest_fetch_time": pa.array(p // 4, pa.int64()),
+            "latest_variant": pa.array(p % 4, pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+URL_DEDUP_LATEST_SQL = f"""
+WITH snaps AS (
+  SELECT 'http://snap' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/a/'
+             || CAST(doc_id AS VARCHAR) AS url_norm,
+         {_SNAP_BASE} + ((doc_id + v.v) % 3) * 3600 + v.v AS fetch_time,
+         v.v AS variant
+  FROM documents, (VALUES (0), (1), (2)) AS v(v)
+)
+SELECT url_norm,
+       CAST(count(*) AS BIGINT) AS n_snapshots,
+       CAST(max(fetch_time) AS BIGINT) AS latest_fetch_time,
+       CAST(arg_max(variant, fetch_time) AS BIGINT) AS latest_variant
+FROM snaps
+GROUP BY url_norm
+"""

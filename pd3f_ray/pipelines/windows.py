@@ -664,3 +664,67 @@ FROM fv
 LEFT JOIN fc ON fv.user_id = fc.user_id
 LEFT JOIN fp ON fv.user_id = fp.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user inter-arrival gap statistics (lag() semantics)
+# ---------------------------------------------------------------------------
+
+
+def event_gaps(sf_dir: str):
+    """Per-user inter-arrival gap statistics — the ``lag()`` window
+    primitive as a distributed op (think: time-between-fetches per
+    crawl host, or inter-action dwell time per user). Same single
+    ``user_id % B`` bucketed exchange as the rest of this module; the
+    in-group scan is one vectorized ``np.diff`` over the (ts, event_id)
+    sort per user. Gaps travel as integer microseconds so the sums are
+    hash-exact. Users with a single event have no gap and are omitted
+    (mirrors ``lag()`` returning NULL for the first row). Output
+    (user_id, n_gaps, sum_gap_us, max_gap_us, min_gap_us)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns=["bucket"]).sort_values(
+            ["user_id", "ts", "event_id"])
+        uid = group["user_id"].to_numpy(np.int64)
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d = np.diff(ts)
+        # rows where the user changes carry a cross-user diff — mask out
+        same = uid[1:] == uid[:-1]
+        out = {k: [] for k in ("user_id", "n_gaps", "sum_gap_us",
+                               "max_gap_us", "min_gap_us")}
+        # segment boundaries: positions where a new user starts
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = d[s:e - 1]
+            assert same[s:e - 1].all()
+            out["user_id"].append(int(uid[s]))
+            out["n_gaps"].append(int(len(g)))
+            out["sum_gap_us"].append(int(g.sum()))
+            out["max_gap_us"].append(int(g.max()))
+            out["min_gap_us"].append(int(g.min()))
+        return pd.DataFrame(out).astype(np.int64)
+
+    return _bucketed(ds).map_groups(gaps, batch_format="pandas")
+
+
+EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+             AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us
+FROM g
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""

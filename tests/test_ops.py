@@ -1268,3 +1268,59 @@ def test_pages_staged_roundtrip_byte_identical(ray_session, con):
     )
 
     _match(pages_staged_roundtrip(SF), PAGES_ROUNDTRIP_SQL, con)
+
+
+def test_event_gaps_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import EVENT_GAPS_SQL, event_gaps
+
+    _match(event_gaps(SF), EVENT_GAPS_SQL, con)
+
+
+def test_q3_shipping_priority_oracle_both_paths(ray_session, con):
+    from pd3f_ray.pipelines.joins import Q3_SHIPPING_SQL, q3_shipping_priority
+
+    _match(q3_shipping_priority(SF, broadcast_customer=True),
+           Q3_SHIPPING_SQL, con)
+    _match(q3_shipping_priority(SF, broadcast_customer=False),
+           Q3_SHIPPING_SQL, con)
+
+
+def test_url_dedup_latest_oracle(ray_session, con):
+    from pd3f_ray.pipelines.webtext import (
+        URL_DEDUP_LATEST_SQL,
+        url_dedup_latest,
+    )
+
+    _match(url_dedup_latest(SF), URL_DEDUP_LATEST_SQL, con)
+
+
+def test_url_dedup_latest_variants_collapse(ray_session):
+    """Every canonical URL must have exactly 3 snapshots (the dirty
+    variants all normalize to one key) and the winning variant must
+    vary across documents (the fixture rotates it by doc_id % 3)."""
+    from pd3f_ray.pipelines.webtext import url_dedup_latest
+
+    df = url_dedup_latest(SF).to_pandas()
+    assert (df["n_snapshots"] == 3).all()
+    assert set(df["latest_variant"].unique()) == {0, 1, 2}
+
+
+def test_dedup_keep_best_oracle(ray_session, con):
+    from pd3f_ray.pipelines.dedup import DEDUP_KEEP_BEST_SQL, dedup_keep_best
+
+    _match(dedup_keep_best(SF), DEDUP_KEEP_BEST_SQL, con)
+
+
+def test_dedup_keep_best_pack_roundtrip():
+    """The packed-int64 argmax encoding decodes (n_chars, doc_id)
+    exactly at the field boundaries (doc_id 0, max doc_id, 1-char doc)."""
+    import numpy as np
+
+    from pd3f_ray.pipelines.dedup import _PACK_SHIFT
+
+    for n_chars, doc_id in [(1, 0), (1, (1 << _PACK_SHIFT) - 1),
+                            (1 << 29, 12345), (4096, 1)]:
+        p = np.int64((n_chars << _PACK_SHIFT) - doc_id)
+        best_chars = -((-p) >> np.int64(_PACK_SHIFT))
+        best_id = (best_chars << np.int64(_PACK_SHIFT)) - p
+        assert (int(best_chars), int(best_id)) == (n_chars, doc_id)
