@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_docs": embed.embed_docs_flat,
         # cardinality sketches
         "distinct_users": sketches.distinct_users,
+        # windowed exact COUNT DISTINCT (two combiner-only exchanges)
+        "hourly_unique_users": sketches.hourly_unique_users,
         "approx_distinct_users": sketches.approx_distinct_users,  # rows-only
         # HLL as a composable AggregateFn (same estimate, one exchange
         # with a Count) — rows-only
@@ -532,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "training_prep_pipeline": chunking.training_prep_sql(),
         "knn_bruteforce": similarity.knn_sql(),
         "distinct_users": sketches.DISTINCT_USERS_SQL,
+        "hourly_unique_users": sketches.HOURLY_UNIQUE_SQL,
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,
         "domain_stats": webcurate.DOMAIN_STATS_SQL,
         "gopher_quality": webcurate.GOPHER_QUALITY_SQL,

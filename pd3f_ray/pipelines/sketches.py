@@ -429,3 +429,82 @@ def bloom_membership(sf_dir: str):
     neg = rd.range(BLOOM_NEG_PROBES).map_batches(
         negatives, batch_format="pyarrow")
     return members.union(neg)
+
+
+# ---------------------------------------------------------------------------
+# windowed exact COUNT DISTINCT: the hourly-dashboard rollup
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def hourly_unique_users(sf_dir: str):
+    """Per tumbling 1-hour window: event count, exact unique-user
+    count, and value sum — the windowed ``COUNT(DISTINCT ...)`` every
+    analytics dashboard needs, which no single combiner aggregate can
+    express. Two exchanges, both combiner-only:
+
+    1. map-side ``group_by((window, user))`` per batch collapses raw
+       events to one partial row per (window, user, block) carrying
+       (n, cents); the exchange sums those per (window, user) —
+       distinct pairs cross the wire, never events;
+    2. a second map-side collapse counts users per (window, block) and
+       a tiny ``groupby(window)`` sums counts and re-sums (n, cents).
+
+    Output (window_id, n_events, n_users, sum_value_cents)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "value"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        window = pc.divide(us, pa.scalar(_HOUR_US, pa.int64()))
+        v = batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        g = pa.table({
+            "window_id": window,
+            "user_id": batch.column("user_id"),
+            "cents": pa.array(cents, pa.int64()),
+        }).group_by(["window_id", "user_id"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return g.rename_columns(["window_id", "user_id", "n", "cents"])
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["window_id", "user_id"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("cents", alias_name="cents"))
+    )
+
+    def window_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({
+            "window_id": batch.column("window_id"),
+            "n": batch.column("n"),
+            "cents": batch.column("cents"),
+        }).group_by("window_id").aggregate(
+            [("n", "count"), ("n", "sum"), ("cents", "sum")]
+        )
+        return g.rename_columns(
+            ["window_id", "n_users", "n_events", "sum_value_cents"])
+
+    return (
+        pairs.map_batches(window_partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_cents", alias_name="sum_value_cents"))
+    )
+
+
+HOURLY_UNIQUE_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS window_id,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+GROUP BY window_id
+"""

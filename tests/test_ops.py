@@ -1347,3 +1347,22 @@ def test_bm25_scores_ranking_sane(ray_session):
         lo = sub.loc[sub["tf"].idxmin()]
         if hi["tf"] > lo["tf"]:
             assert hi["score_micros"] > 0 and lo["score_micros"] > 0
+
+
+def test_hourly_unique_users_oracle(ray_session, con):
+    from pd3f_ray.pipelines.sketches import (
+        HOURLY_UNIQUE_SQL,
+        hourly_unique_users,
+    )
+
+    _match(hourly_unique_users(SF), HOURLY_UNIQUE_SQL, con)
+
+
+def test_hourly_unique_users_distinct_below_total(ray_session):
+    """n_users must be <= n_events everywhere and strictly below on at
+    least one window (the fixture has repeat users within an hour)."""
+    from pd3f_ray.pipelines.sketches import hourly_unique_users
+
+    df = hourly_unique_users(SF).to_pandas()
+    assert (df["n_users"] <= df["n_events"]).all()
+    assert (df["n_users"] < df["n_events"]).any()
