@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": relational.event_value_quantiles,
         "event_value_histogram": relational.event_value_histogram,
         "customer_rollup": relational.customer_rollup,
+        # grouped MODE via packed-int64 Max (two combiner exchanges)
+        "user_favorite_event": relational.user_favorite_event,
         "customer_order_counts": relational.customer_order_counts,
         # distributed dense global ranking (two-pass range partition)
         "doc_length_rank": relational.doc_length_rank,
@@ -409,6 +411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": webcurate.gopher_quality,
         # within-doc duplicated-ngram fraction (Gopher repetition rule)
         "doc_repetition": webcurate.doc_repetition,
+        # zlib entropy-proxy quality signal (deterministic, non-SQL →
+        # rows-only; ordering/monotonicity pinned by property tests)
+        "compression_quality": webcurate.compression_quality,
         "pii_roundtrip": webcurate.pii_roundtrip,
         "line_dedup_docs": webcurate.line_dedup_docs,
         "pack_sequences": webcurate.pack_sequences,  # greedy → rows-only
@@ -482,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
         "event_value_histogram": relational.EVENT_VALUE_HISTOGRAM_SQL,
         "customer_rollup": relational.CUSTOMER_ROLLUP_SQL,
+        "user_favorite_event": relational.USER_FAVORITE_EVENT_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "doc_length_rank": relational.DOC_LENGTH_RANK_SQL,
         "profile_lineitem": relational.PROFILE_LINEITEM_SQL,

@@ -708,3 +708,103 @@ SELECT '{c}' AS col,
 FROM lineitem"""
     for c in PROFILE_COLS
 )
+
+
+# ---------------------------------------------------------------------------
+# grouped MODE: each user's most frequent event type
+# ---------------------------------------------------------------------------
+
+_MODE_SHIFT = 8  # ≤ 2^8 distinct event types; count < 2^54
+
+
+def user_favorite_event(sf_dir: str):
+    """Grouped MODE — each user's most frequent event type (ties break
+    to the lexicographically smallest type). Mode is not distributive,
+    but it decomposes into two combiner-only exchanges:
+
+    1. ``groupby((user, type))`` over map-side pre-counted partials —
+       the standard count rollup;
+    2. the per-user argmax travels as ONE packed int64
+       (``count << 8 | (255 - type_rank)``) so picking the winner is a
+       plain ``Max`` — no per-user group materialization. The
+       type→rank dictionary is built from a metadata-cheap distinct
+       pass and broadcast (event-type vocabularies are tiny by
+       construction; the dial is the shift width).
+
+    Output (user_id, favorite_event, n_occurrences)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # tiny distinct-type table → sorted rank dict, broadcast once
+    types = sorted(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"event_type": b.column("event_type").unique()}),
+            batch_format="pyarrow",
+        )
+        .unique("event_type")
+    )
+    types = [t["event_type"] if isinstance(t, dict) else t for t in types]
+    rank = {t: i for i, t in enumerate(types)}
+    if len(rank) >= (1 << _MODE_SHIFT):
+        raise ValueError("event-type vocabulary exceeds the pack width; "
+                         "raise _MODE_SHIFT")
+    rank_ref = ray.put(rank)
+    inv_ref = ray.put(types)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        r = ray.get(rank_ref)
+        et = batch.column("event_type").to_pylist()
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        lo = np.fromiter(((1 << _MODE_SHIFT) - 1 - r[t] for t in et),
+                         dtype=np.int64, count=len(et))
+        packed = (n.astype(np.int64) << _MODE_SHIFT) | lo
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "packed": pa.array(packed, pa.int64()),
+        })
+
+    best = (
+        counts.map_batches(pack, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("packed", alias_name="packed"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        p = batch.column("packed").to_numpy(zero_copy_only=False)
+        n = p >> _MODE_SHIFT
+        ridx = (1 << _MODE_SHIFT) - 1 - (p & ((1 << _MODE_SHIFT) - 1))
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "favorite_event": pa.array([inv[i] for i in ridx], pa.string()),
+            "n_occurrences": pa.array(n, pa.int64()),
+        })
+
+    return best.map_batches(decode, batch_format="pyarrow")
+
+
+USER_FAVORITE_EVENT_SQL = """
+SELECT user_id, favorite_event, n_occurrences
+FROM (
+  SELECT user_id,
+         event_type AS favorite_event,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rn
+  FROM events
+  GROUP BY user_id, event_type
+)
+WHERE rn = 1
+"""

@@ -968,3 +968,44 @@ SELECT doc_id,
 FROM c
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (zlib entropy proxy)
+# ---------------------------------------------------------------------------
+
+COMPRESSION_LEVEL = 6
+
+
+def compression_quality(sf_dir: str):
+    """Per-document zlib compression ratio — the entropy-proxy quality
+    signal used alongside the Gopher rules (highly repetitive or
+    template-generated text compresses far below prose; random noise
+    barely compresses). Pure map over pruned columns; no exchange.
+    Deterministic for a fixed zlib (library is pinned in the image),
+    but NOT SQL-expressible — verified by property tests instead of a
+    DuckDB oracle. Output (doc_id, n_bytes, z_bytes, ratio_ppm) with
+    ratio_ppm = compressed/raw in integer parts-per-million."""
+    import zlib
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def measure(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        nb, zb = [], []
+        for t in texts:
+            raw = t.encode("utf-8")
+            nb.append(len(raw))
+            zb.append(len(zlib.compress(raw, COMPRESSION_LEVEL)))
+        nb = np.asarray(nb, np.int64)
+        zb = np.asarray(zb, np.int64)
+        ppm = np.where(nb > 0, (zb * 1_000_000) // np.maximum(nb, 1), 0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "z_bytes": pa.array(zb, pa.int64()),
+            "ratio_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(measure, batch_format="pyarrow")

@@ -1366,3 +1366,44 @@ def test_hourly_unique_users_distinct_below_total(ray_session):
     df = hourly_unique_users(SF).to_pandas()
     assert (df["n_users"] <= df["n_events"]).all()
     assert (df["n_users"] < df["n_events"]).any()
+
+
+def test_user_favorite_event_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        USER_FAVORITE_EVENT_SQL,
+        user_favorite_event,
+    )
+
+    _match(user_favorite_event(SF), USER_FAVORITE_EVENT_SQL, con)
+
+
+def test_compression_quality_properties(ray_session, con):
+    """zlib entropy proxy: one row per doc, repetitive text compresses
+    far below prose, ratios are deterministic across two executions."""
+    from pd3f_ray.pipelines.webcurate import compression_quality
+
+    df = compression_quality(SF).to_pandas().sort_values("doc_id")
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(df) == n_docs
+    assert (df["z_bytes"] > 0).all()
+    assert (df["ratio_ppm"] > 0).all()
+    # the synthetic corpus is low-entropy token soup: it must compress
+    assert df["ratio_ppm"].median() < 900_000
+    df2 = compression_quality(SF).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(df.reset_index(drop=True),
+                                  df2.reset_index(drop=True))
+
+
+def test_compression_quality_orders_repetition():
+    """A pure-repetition string must get a lower ratio than a
+    high-entropy string of the same length (the signal the gate uses)."""
+    import zlib
+
+    rep = b"spam " * 200
+    import hashlib
+
+    noise = b"".join(hashlib.sha256(bytes([i])).digest()
+                     for i in range(32))[:1000]
+    r_rep = len(zlib.compress(rep, 6)) / len(rep)
+    r_noise = len(zlib.compress(noise, 6)) / len(noise)
+    assert r_rep < 0.1 < r_noise
