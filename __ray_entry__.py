@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup.dedup_incremental,
         "jaccard_pairs": dedup.jaccard_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # fuzzy entity resolution: edit-distance ≤2 name pairs over the
+        # vocabulary rollup (length-banded, ghost-replicated)
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "minhash_pairs": dedup.minhash_pairs,      # approximate → rows-only
         "simhash_docs": dedup.simhash_docs,        # bit sketch → rows-only
         "simhash_pairs": dedup.simhash_pairs,      # pigeonhole-exact, rows-only
@@ -367,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "sample_docs": textstats.sample_docs,
         "stratified_sample": textstats.stratified_sample,
+        # Efraimidis–Spirakis weighted sample w/o replacement (A-ES)
+        "weighted_sample": textstats.weighted_sample,
         "top_tokens": textstats.top_tokens,
         "top_tokens_per_lang": textstats.top_tokens_per_lang,
         "top_bigrams": textstats.top_bigrams,
@@ -518,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
+        "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "dup_span_stats": spandedup.DUP_SPAN_STATS_SQL,
         "strip_dup_spans": spandedup.STRIP_DUP_SPANS_SQL,
@@ -529,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textstats.LANG_ID_SQL,
         "sample_docs": textstats.SAMPLE_DOCS_SQL,
         "stratified_sample": textstats.stratified_sample_sql(),
+        "weighted_sample": textstats.WEIGHTED_SAMPLE_SQL,
         "top_tokens": textstats.top_tokens_sql(),
         "top_tokens_per_lang": textstats.top_tokens_per_lang_sql(),
         "top_bigrams": textstats.top_bigrams_sql(),

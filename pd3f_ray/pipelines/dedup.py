@@ -1139,3 +1139,118 @@ SELECT prefix_hash, n_docs,
        CAST(ceil(packed / {(1 << _PACK_SHIFT)}.0) AS BIGINT) AS best_chars
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity resolution: edit-distance pairs over a name vocabulary
+# ---------------------------------------------------------------------------
+
+EDIT_MAX = 2        # pair threshold (Levenshtein)
+NAME_BAND_W = 8     # name-length chars per shuffle band
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic O(|a|·|b|) DP — unit-cost insert/delete/substitute,
+    identical to DuckDB's ``levenshtein``. Names are ~10 chars; the
+    banded blocking (not this kernel) is what bounds the total work."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def fuzzy_name_pairs(sf_dir: str, max_dist: int = EDIT_MAX):
+    """Entity-resolution fuzzy matching: pairs of DISTINCT part names
+    within Levenshtein distance ``max_dist`` (typo/variant detection —
+    'red bolt' ↔ 'old bolt'). The scale design has two levels:
+
+    1. the quadratic never touches the parts table — an exact-dedup
+       rollup first reduces it to its NAME VOCABULARY (bounded by the
+       domain, not the row count);
+    2. the vocabulary is length-banded exactly like ``jaccard_pairs``
+       (|len(a)-len(b)| ≤ max_dist is necessary for distance ≤
+       max_dist): native rows anchor, edge names ghost-replicate into
+       the previous band, every qualifying pair is emitted exactly once
+       from its shorter member's band.
+
+    Output (name_a, name_b, dist), names ordered lexicographically;
+    oracle = DuckDB ``levenshtein`` over the distinct-name self-join."""
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_name"])
+
+    names = (
+        parts.map_batches(
+            lambda b: pa.table({"p_name": b.column("p_name").unique()}),
+            batch_format="pyarrow")
+        .groupby("p_name")
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        nm = batch.column("p_name").to_pylist()
+        ln = np.asarray([len(s) for s in nm], np.int64)
+        band = ln // NAME_BAND_W
+        t = pa.table({"p_name": pa.array(nm, pa.string()),
+                      "len": pa.array(ln, pa.int64())})
+        native = t.append_column(
+            "band", pa.array(band, pa.int64())).append_column(
+            "native", pa.array(np.ones(len(nm), bool)))
+        ghost_mask = (ln % NAME_BAND_W < max_dist) & (band > 0)
+        if not ghost_mask.any():
+            return native
+        ghosts = t.filter(pa.array(ghost_mask)).append_column(
+            "band", pa.array(band[ghost_mask] - 1, pa.int64())
+        ).append_column(
+            "native", pa.array(np.zeros(int(ghost_mask.sum()), bool)))
+        return pa.concat_tables([native, ghosts])
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((group["p_name"].to_numpy(),
+                            group["len"].to_numpy()))
+        nm = group["p_name"].to_numpy()[order]
+        ln = group["len"].to_numpy()[order]
+        native = group["native"].to_numpy()[order]
+        out_a, out_b, out_d = [], [], []
+        n = len(nm)
+        for i in range(n):
+            if not native[i]:
+                continue  # ghosts are candidates, never anchors
+            for j in range(i + 1, n):
+                if ln[j] - ln[i] > max_dist:
+                    break
+                d = _levenshtein(nm[i], nm[j])
+                if d <= max_dist:
+                    a, b = sorted((nm[i], nm[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_d.append(d)
+        return pd.DataFrame({"name_a": pd.Series(out_a, dtype=object),
+                             "name_b": pd.Series(out_b, dtype=object),
+                             "dist": pd.Series(out_d, dtype="int64")})
+
+    return (
+        names.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(block_pairs, batch_format="pandas")
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT least(a.p_name, b.p_name)    AS name_a,
+       greatest(a.p_name, b.p_name) AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a
+JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {EDIT_MAX}
+"""

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -559,3 +560,83 @@ FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+_U52 = float(1 << 52)
+
+
+def weighted_sample(sf_dir: str, k: int = WSAMPLE_K):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006 A-ES): each row gets key = ln(u)/w with u a
+    hash-derived uniform and w its weight (``n_chars`` — longer
+    documents proportionally likelier); the global top-k by key IS a
+    weight-proportional sample, and because u comes from md5(doc_id)
+    the draw is reproducible across runs AND engines.
+
+    Scale shape: key computation is map-only; per-block top-k partials
+    feed a final sort over ≤ blocks×k rows (the ``top_tokens`` resolve
+    pattern) — no global sort of the corpus. Float parity with the SQL
+    oracle holds bit-exactly: u is a 52-bit-integer divide by 2^52
+    (exact in double), ln is the same libm call both engines make (see
+    ``indexing.tfidf_terms``), and the key division is one IEEE op.
+    Output (doc_id, n_chars)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from pd3f_ray.functions.textfns import md5_hex
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        keys = np.asarray(
+            [math.log((int(md5_hex(str(d))[:13], 16) + 1) / _U52)
+             for d in ids],
+            np.float64) / w
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "key": pa.array(keys, pa.float64()),
+        })
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        order = pc.sort_indices(
+            batch, sort_keys=[("key", "descending"),
+                              ("doc_id", "ascending")])
+        return batch.take(order[:k])
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .map_batches(lambda b: b.select(["doc_id", "n_chars"]),
+                     batch_format="pyarrow")
+    )
+
+
+def weighted_sample_sql(k: int = WSAMPLE_K) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 ::BIGINT + 1) / {_U52!r}) / n_chars AS key
+  FROM documents
+)
+SELECT doc_id, n_chars
+FROM keyed
+ORDER BY key DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+WEIGHTED_SAMPLE_SQL = weighted_sample_sql()

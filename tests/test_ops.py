@@ -1407,3 +1407,42 @@ def test_compression_quality_orders_repetition():
     r_rep = len(zlib.compress(rep, 6)) / len(rep)
     r_noise = len(zlib.compress(noise, 6)) / len(noise)
     assert r_rep < 0.1 < r_noise
+
+
+def test_fuzzy_name_pairs_oracle(ray_session, con):
+    from pd3f_ray.pipelines.dedup import FUZZY_NAME_PAIRS_SQL, fuzzy_name_pairs
+
+    _match(fuzzy_name_pairs(SF), FUZZY_NAME_PAIRS_SQL, con)
+
+
+def test_levenshtein_matches_duckdb(con):
+    """The DP kernel must agree with DuckDB's levenshtein on a grid of
+    adversarial cases (empty, prefix, transposition, full rewrite)."""
+    from pd3f_ray.pipelines.dedup import _levenshtein
+
+    cases = [("", ""), ("a", ""), ("", "abc"), ("kitten", "sitting"),
+             ("flaw", "lawn"), ("red bolt", "old bolt"),
+             ("abc", "acb"), ("same", "same"), ("ab", "ba")]
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_weighted_sample_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import (
+        WEIGHTED_SAMPLE_SQL,
+        weighted_sample,
+    )
+
+    _match(weighted_sample(SF), WEIGHTED_SAMPLE_SQL, con)
+
+
+def test_weighted_sample_favors_heavy_docs(ray_session, con):
+    """Weight-proportional sampling must pull the sample's mean length
+    above the corpus mean (the A-ES property, deterministic here)."""
+    from pd3f_ray.pipelines.textstats import weighted_sample
+
+    df = weighted_sample(SF).to_pandas()
+    corpus_mean = con.execute(
+        "SELECT avg(n_chars) FROM documents").fetchone()[0]
+    assert df["n_chars"].mean() > corpus_mean
