@@ -297,6 +297,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl snapshot consolidation: keep-latest per canonical URL,
         # argmax as ONE packed-int64 Max combiner aggregate
         "url_dedup_latest": webtext.url_dedup_latest,
+        # the crawl-side composed flagship: snapshots → canonicalize →
+        # keep-latest (map-side partial argmax, losers never ship) →
+        # boilerplate strip, byte-per-url end-to-end oracle
+        "crawl_consolidation_pipeline": webtext.crawl_consolidation_pipeline,
         # relational / wide ops (oracle-checked)
         "q1_pricing": relational.q1_pricing,
         "top_orders": relational.top_orders,
@@ -485,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_corpus": webtext_mod.ANCHOR_TEXT_SQL,
         "url_normalize": webtext_mod.URL_NORMALIZE_SQL,
         "url_dedup_latest": webtext_mod.URL_DEDUP_LATEST_SQL,
+        "crawl_consolidation_pipeline": webtext_mod.CRAWL_CONSOLIDATION_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,

@@ -369,3 +369,110 @@ SELECT url_norm,
 FROM snaps
 GROUP BY url_norm
 """
+
+
+# ---------------------------------------------------------------------------
+# composed crawl-consolidation flagship:
+# snapshots → canonicalize → keep-latest → boilerplate strip
+# ---------------------------------------------------------------------------
+
+_CRAWL_BUCKETS = 256
+
+
+def crawl_consolidation_pipeline(sf_dir: str):
+    """The crawl-side composed flagship: a multi-crawl snapshot table
+    (the same logical page fetched repeatedly under noisy URLs, each
+    fetch a different page REVISION) is consolidated into one clean
+    text row per canonical URL — in ONE streaming pipeline:
+
+    1. canonicalize raw URLs with the real ``normalize_url``;
+    2. keep-latest per canonical key with the two-level argmax of
+       ``latest_event_per_user``: a map-side partial keeps one winner
+       per (block, url) BEFORE the exchange, so loser payloads that
+       co-occur in a block never ship; the bucketed reduce re-applies
+       the same argmax (bucket = splitmix64(url-hash) % B bounds group
+       memory);
+    3. the winning snapshots' HTML goes through the
+       ``HtmlMainExtractor`` actor pool (boilerplate stripped).
+
+    Fixture: 3 dirty URL variants per document, each wrapping
+    ``text + ' rev {v}'`` in full boilerplate HTML, with fetch times
+    rotating the winner by doc_id — so the end-to-end output is
+    closed-form: byte-identical ``text || ' rev ' || (2 - doc_id % 3)``
+    per canonical url (oracle-checked). Output (url_norm, text)."""
+    import numpy as np
+
+    from pd3f_ray.functions.textfns import hash_bytes
+    from pd3f_ray.functions.urls import normalize_url
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        urls, packed, htmls = [], [], []
+        for d, t in zip(ids, texts):
+            d = int(d)
+            raw = [
+                f"http://snap{d % 50}.example.com/a/{d}?utm_source=feed",
+                f"HTTP://Snap{d % 50}.Example.COM/a/{d}#top",
+                f"http://snap{d % 50}.example.com:80/a//{d}",
+            ]
+            for v, u in enumerate(raw):
+                ft = _SNAP_BASE + ((d + v) % 3) * 3600 + v
+                urls.append(normalize_url(u))
+                packed.append(ft * 4 + v)
+                htmls.append(
+                    wrap_in_boilerplate(f"{t} rev {v}").encode())
+        return pa.table({
+            "url_norm": pa.array(urls, pa.string()),
+            "packed": pa.array(np.asarray(packed, np.int64), pa.int64()),
+            "html": pa.array(htmls, pa.binary()),
+        })
+
+    def keep_latest(df):
+        df = df.sort_values(["url_norm", "packed"])
+        return df[~df["url_norm"].duplicated(keep="last")]
+
+    def add_bucket(df):
+        df = keep_latest(df)  # map-side partial: losers in-block never ship
+        h = np.fromiter(
+            (hash_bytes(u.encode()) for u in df["url_norm"]),
+            dtype=np.uint64, count=len(df))
+        df = df.assign(bucket=(h % _CRAWL_BUCKETS).astype(np.int64))
+        return df
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    winners = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: keep_latest(g).drop(columns=["bucket", "packed"]),
+            batch_format="pandas")
+    )
+
+    extracted = winners.map_batches(
+        lambda b: pa.table({"url": b.column("url_norm"),
+                            "html": b.column("html")}),
+        batch_format="pyarrow",
+    ).map_batches(
+        HtmlMainExtractor,
+        fn_constructor_kwargs={"joiner": " "},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=4,
+        num_cpus=0.75,
+    )
+    return extracted.map_batches(
+        lambda b: pa.table({"url_norm": b.column("url"),
+                            "text": b.column("text").cast(pa.string())}),
+        batch_format="pyarrow",
+    )
+
+
+CRAWL_CONSOLIDATION_SQL = """
+SELECT 'http://snap' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/a/'
+           || CAST(doc_id AS VARCHAR) AS url_norm,
+       text || ' rev ' || CAST(2 - (doc_id % 3) AS VARCHAR) AS text
+FROM documents
+"""

@@ -1446,3 +1446,23 @@ def test_weighted_sample_favors_heavy_docs(ray_session, con):
     corpus_mean = con.execute(
         "SELECT avg(n_chars) FROM documents").fetchone()[0]
     assert df["n_chars"].mean() > corpus_mean
+
+
+def test_crawl_consolidation_pipeline_oracle(ray_session, con):
+    from pd3f_ray.pipelines.webtext import (
+        CRAWL_CONSOLIDATION_SQL,
+        crawl_consolidation_pipeline,
+    )
+
+    _match(crawl_consolidation_pipeline(SF), CRAWL_CONSOLIDATION_SQL, con)
+
+
+def test_crawl_consolidation_picks_rotating_winner(ray_session):
+    """The kept revision must rotate across documents (rev 0, 1 and 2
+    all appear) — a constant winner would mean the argmax is ignoring
+    fetch_time."""
+    from pd3f_ray.pipelines.webtext import crawl_consolidation_pipeline
+
+    df = crawl_consolidation_pipeline(SF).to_pandas()
+    revs = df["text"].str.extract(r" rev (\d)$")[0].astype(int)
+    assert set(revs.unique()) == {0, 1, 2}
