@@ -308,6 +308,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "event_value_quantiles": relational.event_value_quantiles,
         "event_value_histogram": relational.event_value_histogram,
+        # robust median/MAD outlier profile from the same bounded
+        # distinct-value histogram plan
+        "event_value_mad": relational.event_value_mad,
+        # PIVOT: per-source language-mix matrix (wide reporting shape)
+        "source_lang_matrix": relational.source_lang_matrix,
         "customer_rollup": relational.customer_rollup,
         # grouped MODE via packed-int64 Max (two combiner exchanges)
         "user_favorite_event": relational.user_favorite_event,
@@ -496,6 +501,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
         "event_value_histogram": relational.EVENT_VALUE_HISTOGRAM_SQL,
+        "event_value_mad": relational.EVENT_VALUE_MAD_SQL,
+        "source_lang_matrix": relational.SOURCE_LANG_MATRIX_SQL,
         "customer_rollup": relational.CUSTOMER_ROLLUP_SQL,
         "user_favorite_event": relational.USER_FAVORITE_EVENT_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,

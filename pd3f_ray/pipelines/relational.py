@@ -808,3 +808,151 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# robust outliers: median/MAD per type from the distinct-value histogram
+# ---------------------------------------------------------------------------
+
+MAD_K = 3  # |v - median| > K * MAD flags an outlier
+
+
+def event_value_mad(sf_dir: str, k: int = MAD_K):
+    """Robust (median/MAD) outlier profile per event type — the
+    data-quality screen that, unlike mean/stddev, a few bad rows can't
+    drag. Same bounded plan as :func:`event_value_quantiles`: one
+    exchange of per-block (type, cents, n) distinct-value partials;
+    the per-type reduce then derives EVERYTHING from the run-length
+    histogram — median (discrete-quantile indexing), MAD (re-histogram
+    |cents−median| with the same counts), and the outlier count (sum of
+    counts where the deviation exceeds k·MAD). Group size is bounded by
+    value cardinality, never event count. Output
+    (event_type, n_events, median_cents, mad_cents, n_outliers)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False) * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        t = pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by(["event_type", "cents"]).aggregate([("cents", "count")])
+        return g.rename_columns(["event_type", "cents", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _disc_median(values: np.ndarray, counts: np.ndarray) -> int:
+        # quantile_disc(0.5): element at 1-based position ceil(n/2) of
+        # the sorted multiset (values must arrive sorted ascending)
+        cum = np.cumsum(counts)
+        pos = max(int(np.ceil(0.5 * cum[-1])), 1)
+        return int(values[np.searchsorted(cum, pos, side="left")])
+
+    def per_type(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("cents")
+        cents = g["cents"].to_numpy(np.int64)
+        counts = g["n"].to_numpy(np.int64)
+        med = _disc_median(cents, counts)
+        dev = np.abs(cents - med)
+        order = np.argsort(dev, kind="stable")
+        mad = _disc_median(dev[order], counts[order])
+        n_out = int(counts[dev > k * mad].sum())
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "n_events": [int(counts.sum())],
+            "median_cents": [med],
+            "mad_cents": [mad],
+            "n_outliers": [n_out],
+        })
+
+    return hist.groupby("event_type").map_groups(per_type,
+                                                 batch_format="pandas")
+
+
+EVENT_VALUE_MAD_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med
+  FROM c GROUP BY event_type
+),
+md AS (
+  SELECT c.event_type, quantile_disc(abs(c.cents - m.med), 0.5) AS mad
+  FROM c JOIN m USING (event_type) GROUP BY c.event_type
+)
+SELECT c.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(m.med AS BIGINT) AS median_cents,
+       CAST(md.mad AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN abs(c.cents - m.med) > {MAD_K} * md.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c
+JOIN m USING (event_type)
+JOIN md USING (event_type)
+GROUP BY c.event_type, m.med, md.mad
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot: per-source language-mix matrix (wide reporting shape)
+# ---------------------------------------------------------------------------
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def source_lang_matrix(sf_dir: str):
+    """PIVOT — the wide reporting shape: one row per source, one count
+    column per language (the corpus-composition dashboard every crawl
+    run ends with). The language axis must be KNOWN/bounded (as for any
+    pivot); counts fold map-side into (source, lang, n) partials, one
+    small exchange sums them, and the per-source reduce spreads
+    languages into columns. Unknown languages would raise, not
+    silently drop. Output (source, n_de, n_en, n_es, n_fr, n_zh)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return g.rename_columns(["source", "lang", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def spread(group: pd.DataFrame) -> pd.DataFrame:
+        unknown = set(group["lang"]) - set(PIVOT_LANGS)
+        if unknown:
+            raise ValueError(f"unpivoted languages: {sorted(unknown)}")
+        by = dict(zip(group["lang"], group["n"].astype(np.int64)))
+        row = {"source": [group["source"].iloc[0]]}
+        for lg in PIVOT_LANGS:
+            row[f"n_{lg}"] = [int(by.get(lg, 0))]
+        return pd.DataFrame(row)
+
+    return counts.groupby("source").map_groups(spread,
+                                               batch_format="pandas")
+
+
+SOURCE_LANG_MATRIX_SQL = f"""
+SELECT source,
+       {", ".join(
+           f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS n_{lg}"
+           for lg in PIVOT_LANGS)}
+FROM documents
+GROUP BY source
+"""

@@ -1466,3 +1466,55 @@ def test_crawl_consolidation_picks_rotating_winner(ray_session):
     df = crawl_consolidation_pipeline(SF).to_pandas()
     revs = df["text"].str.extract(r" rev (\d)$")[0].astype(int)
     assert set(revs.unique()) == {0, 1, 2}
+
+
+def test_event_value_mad_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        EVENT_VALUE_MAD_SQL,
+        event_value_mad,
+    )
+
+    _match(event_value_mad(SF), EVENT_VALUE_MAD_SQL, con)
+
+
+def test_event_value_mad_flags_injected_outlier(ray_session, tmp_path):
+    """A single injected extreme value must be counted as an outlier
+    and must NOT move the median/MAD materially (the robustness the op
+    exists for)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.relational import event_value_mad
+
+    n = 400
+    tbl = pa.table({
+        "event_type": pa.array(["x"] * n + ["x"], pa.string()),
+        "value": pa.array([float(10 + (i % 7)) for i in range(n)]
+                          + [1e6], pa.float64()),
+    })
+    d = tmp_path / "madcase"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    df = event_value_mad(str(d)).to_pandas()
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert row["n_outliers"] >= 1
+    assert 1000 <= row["median_cents"] <= 1600  # cents of the 10..16 band
+
+
+def test_source_lang_matrix_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        SOURCE_LANG_MATRIX_SQL,
+        source_lang_matrix,
+    )
+
+    _match(source_lang_matrix(SF), SOURCE_LANG_MATRIX_SQL, con)
+
+
+def test_source_lang_matrix_counts_cover_corpus(ray_session, con):
+    from pd3f_ray.pipelines.relational import PIVOT_LANGS, source_lang_matrix
+
+    df = source_lang_matrix(SF).to_pandas()
+    total = sum(int(df[f"n_{lg}"].sum()) for lg in PIVOT_LANGS)
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert total == n_docs
