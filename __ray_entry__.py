@@ -224,6 +224,12 @@ def _q_csv_roundtrip(sf_dir: str):
     return csv_roundtrip(sf_dir)
 
 
+def _q_schema_evolution(sf_dir: str):
+    from pd3f_ray.sources.evolve import schema_evolution_union
+
+    return schema_evolution_union(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         curation,
@@ -342,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sequences": windows.event_sequences,
         # per-user inter-arrival gap stats (lag() as a distributed op)
         "event_gaps": windows.event_gaps,
+        # next-action training labels (lead() as a distributed op)
+        "next_event_label": windows.next_event_label,
         # time-bounded ordered funnel (view → click → purchase)
         "funnel_stages": windows.funnel_stages,
         # true range join (no equi-key): time-bucketed overlap plan
@@ -443,6 +451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lossless, incl. CSV quoting)
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        # mixed-generation parquet read: align v1/v2 shards to the
+        # current schema (missing columns → typed nulls) + union
+        "schema_evolution_union": _q_schema_evolution,
     }
 
 
@@ -477,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pd3f_ray.pipelines.webtext import HTML_LINKS_SQL, HTML_ROUNDTRIP_SQL
     from pd3f_ray.sources.csvio import CSV_ROUNDTRIP_SQL
+    from pd3f_ray.sources.evolve import SCHEMA_EVOLUTION_SQL
     from pd3f_ray.sources.jsonl import JSONL_ROUNDTRIP_SQL
 
     return {
@@ -523,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "late_events": windows.LATE_EVENTS_SQL,
         "event_sequences": windows.EVENT_SEQUENCES_SQL,
         "event_gaps": windows.EVENT_GAPS_SQL,
+        "next_event_label": windows.NEXT_EVENT_LABEL_SQL,
         "funnel_stages": windows.FUNNEL_STAGES_SQL,
         "interval_join_events": windows.INTERVAL_JOIN_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
@@ -573,4 +586,5 @@ def oracle_sql() -> dict[str, str]:
         "web_corpus_pipeline": webcurate.WEB_CORPUS_PIPELINE_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip": CSV_ROUNDTRIP_SQL,
+        "schema_evolution_union": SCHEMA_EVOLUTION_SQL,
     }

@@ -728,3 +728,54 @@ FROM g
 WHERE gap_us IS NOT NULL
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# training-label generation: next event per user (lead() semantics)
+# ---------------------------------------------------------------------------
+
+
+def next_event_label(sf_dir: str):
+    """Per-event next-action labels — the ``lead()`` window primitive,
+    which is exactly how next-action-prediction training pairs are cut
+    from an event log: each event row gets the event_type and the
+    time-to of the SAME user's next event (events with no successor get
+    NULL / -1 and still appear — they're the sequence ends). Same single
+    bucketed exchange as the rest of this module; the in-group scan is
+    one vectorized shift per user segment. Output
+    (event_id, user_id, event_type, next_type, gap_us) with gap_us = -1
+    on the last event of a user."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def label(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.drop(columns=["bucket"]).sort_values(
+            ["user_id", "ts", "event_id"])
+        uid = group["user_id"].to_numpy(np.int64)
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy(object)
+        nxt = np.empty(len(et), object)
+        gap = np.full(len(et), -1, np.int64)
+        if len(et) > 1:
+            same = uid[1:] == uid[:-1]
+            nxt[:-1] = np.where(same, et[1:], None)
+            gap[:-1] = np.where(same, ts[1:] - ts[:-1], -1)
+        nxt[-1:] = None
+        return pd.DataFrame({
+            "event_id": group["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "event_type": et,
+            "next_type": nxt,
+            "gap_us": gap,
+        })
+
+    return _bucketed(ds).map_groups(label, batch_format="pandas")
+
+
+NEXT_EVENT_LABEL_SQL = """
+SELECT event_id, user_id, event_type,
+       lead(event_type) OVER w AS next_type,
+       CAST(coalesce(epoch_us(lead(ts) OVER w) - epoch_us(ts), -1)
+            AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -1518,3 +1518,40 @@ def test_source_lang_matrix_counts_cover_corpus(ray_session, con):
     total = sum(int(df[f"n_{lg}"].sum()) for lg in PIVOT_LANGS)
     n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
     assert total == n_docs
+
+
+def test_next_event_label_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import (
+        NEXT_EVENT_LABEL_SQL,
+        next_event_label,
+    )
+
+    _match(next_event_label(SF), NEXT_EVENT_LABEL_SQL, con)
+
+
+def test_schema_evolution_union_oracle(ray_session, con):
+    from pd3f_ray.sources.evolve import (
+        SCHEMA_EVOLUTION_SQL,
+        schema_evolution_union,
+    )
+
+    _match(schema_evolution_union(SF), SCHEMA_EVOLUTION_SQL, con)
+
+
+def test_align_to_schema_refuses_extra_columns():
+    import pyarrow as pa
+
+    from pd3f_ray.sources.evolve import align_to_schema
+
+    target = pa.schema([("a", pa.int64())])
+    fn = align_to_schema(target)
+    batch = pa.table({"a": pa.array([1], pa.int64()),
+                      "rogue": pa.array(["x"], pa.string())})
+    with pytest.raises(ValueError, match="rogue"):
+        fn(batch)
+    # and missing columns become typed nulls
+    out = align_to_schema(pa.schema(
+        [("a", pa.int64()), ("b", pa.string())]))(
+        pa.table({"a": pa.array([1, 2], pa.int64())}))
+    assert out.column("b").null_count == 2
+    assert out.schema.field("b").type == pa.string()
