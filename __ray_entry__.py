@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robust median/MAD outlier profile from the same bounded
         # distinct-value histogram plan
         "event_value_mad": relational.event_value_mad,
+        # semi-structured promotion: JSON props → typed field → stats
+        "props_k_stats": relational.props_k_stats,
         # PIVOT: per-source language-mix matrix (wide reporting shape)
         "source_lang_matrix": relational.source_lang_matrix,
         "customer_rollup": relational.customer_rollup,
@@ -420,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bloom membership pre-filter (no-false-negative property
         # pinned by tests) — rows-only
         "bloom_membership": sketches.bloom_membership,
+        # Count-Min per-key frequency sketch (overestimate-only,
+        # linear/mergeable; estimate vs exact truth) — rows-only
+        "cms_user_counts": sketches.cms_user_counts,
         # similarity search
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only
@@ -514,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
         "event_value_histogram": relational.EVENT_VALUE_HISTOGRAM_SQL,
         "event_value_mad": relational.EVENT_VALUE_MAD_SQL,
+        "props_k_stats": relational.PROPS_K_STATS_SQL,
         "source_lang_matrix": relational.SOURCE_LANG_MATRIX_SQL,
         "customer_rollup": relational.CUSTOMER_ROLLUP_SQL,
         "user_favorite_event": relational.USER_FAVORITE_EVENT_SQL,

@@ -956,3 +956,82 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured promotion: JSON props → typed columns → aggregate
+# ---------------------------------------------------------------------------
+
+
+def props_k_stats(sf_dir: str):
+    """Semi-structured handling — the everyday 'promote a JSON field to
+    a typed column' step: ``events.props`` carries a JSON object; parse
+    it map-side (orjson, per batch), promote ``$.k`` to int64 and fold
+    per-type stats BEFORE the (tiny) exchange. Malformed/missing JSON
+    must not poison the pipeline: such rows count into ``n_bad`` and
+    are excluded from the stats (the dead-letter discipline of the
+    extraction kernel, applied to a field). Output
+    (event_type, n, n_bad, sum_k, min_k, max_k)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    try:
+        import orjson as _json
+    except ImportError:  # pragma: no cover
+        import json as _json
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        ps = batch.column("props").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for t, p in zip(et, ps):
+            a = agg.setdefault(t, [0, 0, 0, None, None])
+            try:
+                k = _json.loads(p)["k"]
+                if not isinstance(k, int):
+                    raise TypeError
+            except Exception:
+                a[1] += 1
+                continue
+            a[0] += 1
+            a[2] += k
+            a[3] = k if a[3] is None or k < a[3] else a[3]
+            a[4] = k if a[4] is None or k > a[4] else a[4]
+        keys = list(agg)
+        return pa.table({
+            "event_type": pa.array(keys, pa.string()),
+            "n": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "n_bad": pa.array([agg[k][1] for k in keys], pa.int64()),
+            "sum_k": pa.array([agg[k][2] for k in keys], pa.int64()),
+            "min_k": pa.array([agg[k][3] for k in keys], pa.int64()),
+            "max_k": pa.array([agg[k][4] for k in keys], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(_Sum("n", alias_name="n"),
+                   _Sum("n_bad", alias_name="n_bad"),
+                   _Sum("sum_k", alias_name="sum_k"),
+                   Min("min_k", alias_name="min_k"),
+                   Max("max_k", alias_name="max_k"))
+    )
+
+
+PROPS_K_STATS_SQL = """
+SELECT event_type,
+       CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS n,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events
+GROUP BY event_type
+"""

@@ -508,3 +508,94 @@ SELECT epoch_us(ts) // 3600000000 AS window_id,
 FROM events
 GROUP BY window_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: approximate per-key frequencies (overestimate-only)
+# ---------------------------------------------------------------------------
+
+CMS_W = 2048          # counters per row
+CMS_D = 4             # hash rows
+CMS_PROBES = 20       # users probed in the demo query
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_partial(keys: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """D×W int64 counter matrix for one batch's (key, count) pairs."""
+    m = np.zeros((CMS_D, CMS_W), np.int64)
+    for d in range(CMS_D):
+        idx = (_mix64(keys.astype(np.uint64) ^ _CMS_SEEDS[d])
+               % np.uint64(CMS_W)).astype(np.int64)
+        np.add.at(m[d], idx, counts)
+    return m
+
+
+def _cms_estimate(m: np.ndarray, key: int) -> int:
+    ests = []
+    for d in range(CMS_D):
+        idx = int(_mix64(np.array([key], np.uint64) ^ _CMS_SEEDS[d])[0]
+                  % np.uint64(CMS_W))
+        ests.append(int(m[d, idx]))
+    return min(ests)
+
+
+def cms_user_counts(sf_dir: str, n_probes: int = CMS_PROBES):
+    """Count-Min sketch of per-user event frequencies — the mergeable
+    heavy-hitter counter for streams whose key space is too large to
+    count exactly (Cormode & Muthukrishnan 2005). Each batch folds its
+    (user, count) pairs into ONE fixed 4×2048 int64 matrix row
+    (64 KB), the only thing the exchange carries; matrices merge by
+    elementwise sum (exact — the sketch is linear), and point queries
+    take the min across rows, which can only OVERestimate. The demo
+    probes the ``n_probes`` smallest user_ids and returns estimate vs
+    exact truth side by side. Output (user_id, true_n, est_n);
+    rows-only (the sketch bound is pinned by property tests)."""
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _events(sf_dir, ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(uid, return_counts=True)
+        m = _cms_partial(keys, counts.astype(np.int64))
+        return pa.table({"sketch": pa.array([m.tobytes()], pa.binary())})
+
+    blocks = ray.get(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .materialize().to_arrow_refs())
+    m = np.zeros((CMS_D, CMS_W), np.int64)
+    for b in blocks:  # one 64 KB row per block — driver folds matrices
+        for raw in b.column("sketch").to_pylist():
+            m += np.frombuffer(raw, np.int64).reshape(CMS_D, CMS_W)
+
+    # exact truth for the probe set (combiner aggregate, tiny output)
+    def truth_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(uid, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(keys.astype(np.int64), pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    truth = (
+        ds.map_batches(truth_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(_Sum("n", alias_name="true_n"))
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        keep = uid < n_probes  # fixture user_ids are dense from 0
+        t = batch.filter(pa.array(keep))
+        ests = [_cms_estimate(m, int(u)) for u in
+                t.column("user_id").to_pylist()]
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "true_n": t.column("true_n"),
+            "est_n": pa.array(ests, pa.int64()),
+        })
+
+    return truth.map_batches(probe, batch_format="pyarrow")

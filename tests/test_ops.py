@@ -1555,3 +1555,82 @@ def test_align_to_schema_refuses_extra_columns():
         pa.table({"a": pa.array([1, 2], pa.int64())}))
     assert out.column("b").null_count == 2
     assert out.schema.field("b").type == pa.string()
+
+
+def test_props_k_stats_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import PROPS_K_STATS_SQL, props_k_stats
+
+    _match(props_k_stats(SF), PROPS_K_STATS_SQL, con)
+
+
+def test_props_k_stats_bad_json_counted_not_fatal(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.relational import props_k_stats
+
+    tbl = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b"], pa.string()),
+        "props": pa.array(['{"k": 5}', "not json", '{"x": 1}',
+                           '{"k": 7}'], pa.string()),
+    })
+    d = tmp_path / "badjson"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    df = props_k_stats(str(d)).to_pandas().set_index("event_type")
+    assert df.loc["a", "n"] == 1 and df.loc["a", "n_bad"] == 2
+    assert df.loc["a", "sum_k"] == 5
+    assert df.loc["b", "n"] == 1 and df.loc["b", "n_bad"] == 0
+
+
+def test_cms_user_counts_overestimate_only(ray_session):
+    from pd3f_ray.pipelines.sketches import cms_user_counts
+
+    df = cms_user_counts(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["est_n"] >= df["true_n"]).all()
+
+
+def test_cms_primitive_bound_under_collisions():
+    """Force heavy collisions (50k keys into 4×2048 counters): the
+    estimate must stay >= truth for every key, and the Count-Min error
+    bound e*N/W must hold for at least 95% of probes (Markov gives it
+    per-row with prob 1/e; min over 4 rows makes violations rare)."""
+    import numpy as np
+
+    from pd3f_ray.pipelines.sketches import (
+        CMS_W,
+        _cms_estimate,
+        _cms_partial,
+    )
+
+    keys = np.arange(50_000, dtype=np.int64)
+    counts = (keys % 17 + 1).astype(np.int64)
+    m = _cms_partial(keys, counts)
+    total = int(counts.sum())
+    bound = np.e * total / CMS_W
+    bad = 0
+    for k in range(0, 50_000, 500):
+        est = _cms_estimate(m, int(k))
+        true = int(counts[k])
+        assert est >= true
+        if est - true > bound:
+            bad += 1
+    assert bad <= 5  # of 100 probes
+
+
+def test_cms_sketch_is_linear():
+    """Merging two partial sketches by elementwise sum must equal the
+    sketch of the concatenated stream (the property that makes the
+    map-side fold + exchange-sum plan exact for the sketch itself)."""
+    import numpy as np
+
+    from pd3f_ray.pipelines.sketches import _cms_partial
+
+    a_keys = np.arange(100, dtype=np.int64)
+    b_keys = np.arange(50, 150, dtype=np.int64)
+    ones = np.ones(100, np.int64)
+    merged = _cms_partial(a_keys, ones) + _cms_partial(b_keys, ones)
+    both = _cms_partial(np.concatenate([a_keys, b_keys]),
+                        np.concatenate([ones, ones]))
+    assert (merged == both).all()
