@@ -101,6 +101,17 @@ ALLOWED_MAP_GROUPS = {
     ("webcurate.py", '"packb"'):
         "doc_id // PACK_BUCKET_DOCS range bucket — ≤ bucket_docs rows "
         "per group by construction",
+    ("dedup.py", '"band"'):
+        "fuzzy_name_pairs len//8 band over the DISTINCT-NAME vocabulary "
+        "rollup (bounded by the name domain, not the parts table) + "
+        "ghost overlap",
+    ("relational.py", '"source"'):
+        "source_lang_matrix input is the (source, lang) aggregate — "
+        "groups bounded by |langs|, never corpus size",
+    ("webtext.py", '"bucket"'):
+        "crawl_consolidation splitmix64(url-hash) % 256 keep-latest "
+        "bucket; map-side partial argmax drops in-block losers before "
+        "the exchange, bucket count is a dial",
     ("indexing.py", '"ibucket"'):
         "token-hash bucket over per-(block, token) partial rows (count "
         "+ min-k posting head), never raw pairs; bucket count is a dial",
