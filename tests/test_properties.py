@@ -427,3 +427,75 @@ def test_funnel_scan_matches_brute_force(events):
     deadlines = [1_000, 2_000]
     assert (_funnel_user_stage(types, times, deadlines)
             == _funnel_brute(list(types), list(times), deadlines))
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein DP kernel (fuzzy_name_pairs)
+# ---------------------------------------------------------------------------
+
+short_st = st.text(alphabet=string.ascii_lowercase + " ", max_size=16)
+
+
+@settings(max_examples=300, deadline=None)
+@given(short_st, short_st)
+def test_levenshtein_metric_axioms(a, b):
+    from pd3f_ray.pipelines.dedup import _levenshtein
+
+    d = _levenshtein(a, b)
+    assert d == _levenshtein(b, a)                  # symmetry
+    assert (d == 0) == (a == b)                     # identity
+    assert abs(len(a) - len(b)) <= d <= max(len(a), len(b))  # bounds
+
+
+@settings(max_examples=150, deadline=None)
+@given(short_st, short_st, short_st)
+def test_levenshtein_triangle_inequality(a, b, c):
+    from pd3f_ray.pipelines.dedup import _levenshtein
+
+    assert _levenshtein(a, c) <= _levenshtein(a, b) + _levenshtein(b, c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(short_st, st.integers(0, 15), st.sampled_from(string.ascii_lowercase))
+def test_levenshtein_single_edit_costs_at_most_one(s, i, ch):
+    from pd3f_ray.pipelines.dedup import _levenshtein
+
+    i = min(i, len(s))
+    inserted = s[:i] + ch + s[i:]
+    assert _levenshtein(s, inserted) <= 1
+    if s:
+        j = min(i, len(s) - 1)
+        substituted = s[:j] + ch + s[j + 1:]
+        assert _levenshtein(s, substituted) <= 1
+
+
+# ---------------------------------------------------------------------------
+# packed-int64 argmax encodings (dedup_keep_best / url_dedup_latest)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(1, (1 << 29)), st.integers(0, (1 << 33) - 1))
+def test_keep_best_packing_bijective(n_chars, doc_id):
+    import numpy as np
+
+    from pd3f_ray.pipelines.dedup import _PACK_SHIFT
+
+    p = np.int64((n_chars << _PACK_SHIFT) - doc_id)
+    best_chars = int(-((-p) >> np.int64(_PACK_SHIFT)))
+    best_id = int((np.int64(best_chars) << np.int64(_PACK_SHIFT)) - p)
+    assert (best_chars, best_id) == (n_chars, doc_id)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 1 << 20), st.integers(0, 1 << 16)),
+                min_size=1, max_size=20))
+def test_keep_best_packing_orders_like_the_policy(pairs):
+    """max(packed) must pick exactly (max n_chars, then MIN doc_id) —
+    the argmax the policy documents."""
+    from pd3f_ray.pipelines.dedup import _PACK_SHIFT
+
+    packed = [(n << _PACK_SHIFT) - d for n, d in pairs]
+    win = packed.index(max(packed))
+    want = sorted(pairs, key=lambda t: (-t[0], t[1]))[0]
+    assert pairs[win] == want
