@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_assignment": webcurate.shuffle_assignment,
         "source_cap_sample": webcurate.source_cap_sample,
         "nfc_normalize_docs": webcurate.nfc_normalize_docs,
+        # C0-control / DEL scrub (wire-junk cleanup, injection oracle)
+        "strip_control_chars": webcurate.strip_control_chars,
         # the composed webtext flagship: dirty HTML → training text in
         # one streaming pipeline (strip → scrub → gate → dedup),
         # byte-per-url end-to-end oracle
@@ -589,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_assignment": webcurate.SHUFFLE_ASSIGNMENT_SQL,
         "source_cap_sample": webcurate.SOURCE_CAP_SQL,
         "nfc_normalize_docs": webcurate.NFC_NORMALIZE_SQL,
+        "strip_control_chars": webcurate.STRIP_CONTROL_SQL,
         "web_corpus_pipeline": webcurate.WEB_CORPUS_PIPELINE_SQL,
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip": CSV_ROUNDTRIP_SQL,

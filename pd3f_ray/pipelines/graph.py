@@ -32,6 +32,11 @@ K defaults to 3 iterations — the oracle unrolls the same K.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import time
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -91,8 +96,67 @@ def _edges_with_outdeg(sf_dir: str):
     )
 
 
+ITER_MANIFEST = "_ITERS.jsonl"
+
+
+def _iter_dir(checkpoint_dir: str, k: int) -> str:
+    return os.path.join(checkpoint_dir, f"iter={k:04d}")
+
+
+def _load_iter_manifest(checkpoint_dir: str, sf_dir: str) -> dict[int, dict]:
+    """iteration → record, ignoring checkpoints from a DIFFERENT input
+    (lineage staleness, same rule as run_resumable)."""
+    path = os.path.join(checkpoint_dir, ITER_MANIFEST)
+    done: dict[int, dict] = {}
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    if rec.get("sf_dir") == sf_dir and os.path.isdir(
+                            _iter_dir(checkpoint_dir, rec["iter"])):
+                        done[rec["iter"]] = rec
+    return done
+
+
+def _commit_iteration(checkpoint_dir: str, sf_dir: str, k: int,
+                      ranks: "rd.Dataset") -> "rd.Dataset":
+    """Atomically checkpoint one iteration's rank table (sharded
+    parquet under a temp dir, renamed into place) + append the counter
+    record (n_nodes, sum_rank — exact integers, so a resumed run is
+    bit-identical to a straight one). Returns a dataset re-read from
+    the checkpoint so the continuation's lineage is the FILES, not the
+    in-memory plan (a resumed process reproduces exactly this)."""
+    final = _iter_dir(checkpoint_dir, k)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    ranks.write_parquet(tmp)
+    stats = ranks.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "s": pa.array(
+                [int(b.column("rank").to_numpy(
+                    zero_copy_only=False).sum())], pa.int64()),
+        }),
+        batch_format="pyarrow").to_pandas()
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    rec = {"iter": k, "sf_dir": sf_dir,
+           "n_nodes": int(stats["n"].sum()),
+           "sum_rank": int(stats["s"].sum()),
+           "completed_at": time.time()}
+    with open(os.path.join(checkpoint_dir, ITER_MANIFEST), "a",
+              encoding="utf-8") as f:
+        f.write(json.dumps(rec) + "\n")
+    return rd.read_parquet(final).materialize()
+
+
 def pagerank(sf_dir: str, iters: int = PR_ITERS,
-             broadcast_max: int = PR_BROADCAST_MAX):
+             broadcast_max: int = PR_BROADCAST_MAX,
+             checkpoint_dir: str | None = None):
     """Integer PageRank over the customer↔supplier graph. Output
     (kind 'customer'|'supplier', key, rank_micros).
 
@@ -103,7 +167,16 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
     (ONE small exchange per iteration — measured 110 s → ~13 s at
     sf0.1), or, when the rank table exceeds the broadcast bound, a
     bucketed ``hash_join`` per iteration (the scale path for graphs
-    whose node table itself outgrows a worker's heap)."""
+    whose node table itself outgrows a worker's heap).
+
+    ``checkpoint_dir`` makes the ITERATIVE job resumable — the
+    north_rule checkpoint story applied to a fixpoint loop, where
+    run_resumable's file-shard model doesn't fit: each iteration's
+    rank table is committed atomically (temp dir + rename) with
+    exact-integer counters in an append-only manifest; a rerun loads
+    the newest committed iteration ≤ ``iters`` for THIS input and only
+    runs the remaining rounds. Integer arithmetic makes the resumed
+    result bit-identical to an uninterrupted run."""
     import ray
 
     edges = _edges_with_outdeg(sf_dir)
@@ -128,13 +201,25 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
             "rank": np.full(len(n), PR_RANK0, dtype=np.int64),
         })
 
-    ranks = (
-        edges.map_batches(block_nodes, batch_format="pyarrow")
-        .groupby("nbucket")
-        .map_groups(lambda g: nodes_unique(g.drop(columns=["nbucket"])),
-                    batch_format="pandas")
-        .materialize()
-    )
+    start_iter = 0
+    ranks = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        done = _load_iter_manifest(checkpoint_dir, sf_dir)
+        usable = [k for k in done if k <= iters]
+        if usable:
+            start_iter = max(usable)
+            ranks = rd.read_parquet(
+                _iter_dir(checkpoint_dir, start_iter)).materialize()
+
+    if ranks is None:
+        ranks = (
+            edges.map_batches(block_nodes, batch_format="pyarrow")
+            .groupby("nbucket")
+            .map_groups(lambda g: nodes_unique(g.drop(columns=["nbucket"])),
+                        batch_format="pandas")
+            .materialize()
+        )
     ranks_schema = pa.schema([("node", pa.int64()), ("rank", pa.int64())])
 
     def _partial_table(dst: np.ndarray, contrib: np.ndarray) -> pa.Table:
@@ -160,7 +245,7 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
                      // PR_DAMP_DEN).astype(np.int64),
         })
 
-    for _ in range(iters):
+    for it in range(start_iter, iters):
         if ranks.count() <= broadcast_max:
             # ---- broadcast plan: contributions are map-only ----
             blocks = ray.get(ranks.to_arrow_refs())  # node-scale, small
@@ -203,6 +288,8 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
                         batch_format="pandas")
             .materialize()
         )
+        if checkpoint_dir:
+            ranks = _commit_iteration(checkpoint_dir, sf_dir, it + 1, ranks)
 
     def decode(batch: pa.Table) -> pa.Table:
         node = batch.column("node").to_numpy(zero_copy_only=False)

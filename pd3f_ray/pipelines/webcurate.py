@@ -1009,3 +1009,62 @@ def compression_quality(sf_dir: str):
         })
 
     return ds.map_batches(measure, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# control-character scrub (wire-junk cleanup)
+# ---------------------------------------------------------------------------
+
+# C0 controls + DEL, minus \t \n \r (kept: legitimate whitespace)
+_CTRL_CHARS = [c for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)]
+_CTRL_CHARS.append(0x7F)
+_CTRL_TABLE = {c: None for c in _CTRL_CHARS}
+
+
+def strip_control_chars(sf_dir: str):
+    """Wire-junk cleanup — crawl text arrives with stray C0 control
+    bytes (NUL from truncated buffers, BEL/ESC from terminal dumps,
+    0x0B/0x0C from bad converters); they break tokenizers and some
+    parquet readers downstream. Deterministic injection fixture: every
+    document gets controls spliced at known offsets; the stage must
+    remove exactly the C0 set minus tab/newline/CR (kept — legitimate
+    whitespace) plus DEL, via one vectorized ``str.translate``. Pure
+    map, no exchange. Output (doc_id, text, n_stripped);
+    oracle = the same splice + regexp_replace in SQL."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out, n_stripped = [], []
+        for d, t in zip(ids, batch.column("text").to_pylist()):
+            # fixture: splice controls at deterministic offsets
+            dirty = "\x00" + t[:5] + "\x07\x1b" + t[5:] + "\x0c\x7f"
+            clean = dirty.translate(_CTRL_TABLE)
+            out.append(clean)
+            n_stripped.append(len(dirty) - len(clean))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out, pa.string()),
+            "n_stripped": pa.array(np.asarray(n_stripped, np.int64),
+                                   pa.int64()),
+        })
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+STRIP_CONTROL_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         chr(0) || substring(text, 1, 5) || chr(7) || chr(27)
+             || substring(text, 6) || chr(12) || chr(127) AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(text,
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text,
+       CAST(length(text)
+            - length(regexp_replace(text,
+                     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+            AS BIGINT) AS n_stripped
+FROM dirty
+"""

@@ -226,3 +226,69 @@ def test_compact_parquet_coalesces(ray_session, tmp_path):
     t = pads.dataset(out, format="parquet").to_table()
     assert t.num_rows == 1000
     assert sorted(t.column("k").to_pylist()) == list(range(0, 950 + 50))
+
+
+def test_pagerank_iterative_checkpoint_resume(ray_session, tmp_path):
+    """A PageRank run killed after iteration 2 and resumed must (a)
+    produce a bit-identical final table to an uninterrupted run and
+    (b) actually SKIP the completed iterations (the manifest's early
+    records keep their original timestamps; only the missing iteration
+    is appended)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from pd3f_ray.pipelines.graph import ITER_MANIFEST, pagerank
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df.sort_values(["kind", "key"]).reset_index(drop=True)
+
+    straight = canon(pagerank(sf, iters=3))
+
+    ck = str(tmp_path / "pr_ck")
+    # "crash" after two committed iterations
+    partial = canon(pagerank(sf, iters=2, checkpoint_dir=ck))
+    man_path = os.path.join(ck, ITER_MANIFEST)
+    with open(man_path, encoding="utf-8") as f:
+        before = [json.loads(line) for line in f if line.strip()]
+    assert [r["iter"] for r in before] == [1, 2]
+
+    resumed = canon(pagerank(sf, iters=3, checkpoint_dir=ck))
+    pd.testing.assert_frame_equal(resumed, straight)
+
+    with open(man_path, encoding="utf-8") as f:
+        after = [json.loads(line) for line in f if line.strip()]
+    assert [r["iter"] for r in after] == [1, 2, 3]
+    # iterations 1-2 were NOT recomputed: their records are untouched
+    assert after[:2] == before
+    # exact-integer counters recorded per iteration (the metrics story)
+    assert all(r["sum_rank"] > 0 and r["n_nodes"] > 0 for r in after)
+    assert partial is not None
+
+
+def test_pagerank_checkpoint_staleness_ignores_other_input(ray_session,
+                                                           tmp_path):
+    """Checkpoints recorded for a DIFFERENT sf_dir must be ignored, not
+    resumed from (lineage staleness rule)."""
+    import json
+    import os
+
+    from pd3f_ray.pipelines.graph import ITER_MANIFEST, _iter_dir, pagerank
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "pr_stale")
+    os.makedirs(_iter_dir(ck, 1))
+    with open(os.path.join(ck, ITER_MANIFEST), "w", encoding="utf-8") as f:
+        f.write(json.dumps({"iter": 1, "sf_dir": "/somewhere/else",
+                            "n_nodes": 1, "sum_rank": 1,
+                            "completed_at": 0}) + "\n")
+    out = pagerank(sf, iters=1, checkpoint_dir=ck).to_pandas()
+    assert len(out) > 0
+    with open(os.path.join(ck, ITER_MANIFEST), encoding="utf-8") as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    # the stale record remains, a fresh iter-1 record was appended
+    assert [r["sf_dir"] for r in recs] == ["/somewhere/else", sf]
