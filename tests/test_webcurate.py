@@ -238,3 +238,34 @@ def test_web_corpus_pipeline_end_to_end_oracle(ray_session, con):
     # the gate and the dedup must both actually prune
     n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
     assert 0 < len(got) < n_docs
+
+
+def test_strip_control_chars_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from pd3f_ray.pipelines.webcurate import (
+        STRIP_CONTROL_SQL,
+        strip_control_chars,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    got = strip_control_chars("/root/testdata/sf0.001").to_pandas()
+    got = got[sorted(got.columns)].sort_values(
+        list(sorted(got.columns))).reset_index(drop=True)
+    want = con.execute(STRIP_CONTROL_SQL).df()
+    want = want[sorted(want.columns)].sort_values(
+        list(sorted(want.columns))).reset_index(drop=True)
+    want = want.astype(got.dtypes.to_dict(), errors="ignore")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_strip_control_chars_keeps_whitespace():
+    from pd3f_ray.pipelines.webcurate import _CTRL_TABLE
+
+    s = "a\tb\nc\rd\x00e\x07f\x1bg\x7fh"
+    out = s.translate(_CTRL_TABLE)
+    assert out == "a\tb\nc\rdefgh"
