@@ -230,6 +230,12 @@ def _q_schema_evolution(sf_dir: str):
     return schema_evolution_union(sf_dir)
 
 
+def _q_partitioned_roundtrip(sf_dir: str):
+    from pd3f_ray.sources.evolve import partitioned_write_roundtrip
+
+    return partitioned_write_roundtrip(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from pd3f_ray.pipelines import (
         curation,
@@ -362,6 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": curation.decontaminate_docs,
         # incremental-crawl snapshot delta (digest diff, delta-sized out)
         "snapshot_diff": curation.snapshot_diff,
+        # order-independent corpus checksum (anti-entropy / migration
+        # integrity; XOR fold, one row per block, no exchange)
+        "table_checksum": curation.table_checksum,
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
         # keep-BEST-per-group policy dedup (argmax via packed-int64 Max)
@@ -461,6 +470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mixed-generation parquet read: align v1/v2 shards to the
         # current schema (missing columns → typed nulls) + union
         "schema_evolution_union": _q_schema_evolution,
+        # hive-partitioned write + path-level partition-pruned read
+        "partitioned_write_roundtrip": _q_partitioned_roundtrip,
     }
 
 
@@ -495,7 +506,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from pd3f_ray.pipelines.webtext import HTML_LINKS_SQL, HTML_ROUNDTRIP_SQL
     from pd3f_ray.sources.csvio import CSV_ROUNDTRIP_SQL
-    from pd3f_ray.sources.evolve import SCHEMA_EVOLUTION_SQL
+    from pd3f_ray.sources.evolve import (
+        PARTITIONED_ROUNDTRIP_SQL,
+        SCHEMA_EVOLUTION_SQL,
+    )
     from pd3f_ray.sources.jsonl import JSONL_ROUNDTRIP_SQL
 
     return {
@@ -550,6 +564,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_neardup": curation.CURATE_NEARDUP_SQL,
         "decontaminate_docs": curation.DECONTAMINATE_SQL,
         "snapshot_diff": curation.SNAPSHOT_DIFF_SQL,
+        "table_checksum": curation.TABLE_CHECKSUM_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
@@ -596,4 +611,5 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": JSONL_ROUNDTRIP_SQL,
         "csv_roundtrip": CSV_ROUNDTRIP_SQL,
         "schema_evolution_union": SCHEMA_EVOLUTION_SQL,
+        "partitioned_write_roundtrip": PARTITIONED_ROUNDTRIP_SQL,
     }

@@ -350,3 +350,61 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.dig != n.dig
 """
+
+
+# ---------------------------------------------------------------------------
+# order-independent corpus checksum (cross-run / cross-engine integrity)
+# ---------------------------------------------------------------------------
+
+
+def table_checksum(sf_dir: str):
+    """Order-independent content checksum of the documents table — the
+    anti-entropy primitive of any 100 TB migration or replication: two
+    runs (or two engines) agree on the data iff (n_rows, checksum)
+    agree, no row ordering or partitioning assumptions. Per-row key =
+    the first 60 bits of md5(text); the fold is XOR, which is
+    commutative + associative, so each block reduces to ONE (xor, n)
+    row map-side and the combine is a single probe-free
+    ``repartition(1)`` over blocks×1 rows — no exchange of data rows
+    at all. Output one row (n_rows, checksum); oracle = DuckDB's
+    ``bit_xor`` over the same md5-derived key."""
+    from pd3f_ray.functions.textfns import md5_hex
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+
+    def block_fold(batch: pa.Table) -> pa.Table:
+        x = 0
+        texts = batch.column("text").to_pylist()
+        for t in texts:
+            x ^= int(md5_hex(t)[:15], 16)
+        return pa.table({
+            "n_rows": pa.array([len(texts)], pa.int64()),
+            "checksum": pa.array([x], pa.int64()),
+        })
+
+    def combine(batch: pa.Table) -> pa.Table:
+        x = 0
+        for v in batch.column("checksum").to_pylist():
+            x ^= v
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "n_rows": pa.array(
+                [pc.sum(batch.column("n_rows")).as_py() or 0], pa.int64()),
+            "checksum": pa.array([x], pa.int64()),
+        })
+
+    return (
+        docs.map_batches(block_fold, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
+TABLE_CHECKSUM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST('0x' || substring(md5(text), 1, 15) AS BIGINT))
+            AS BIGINT) AS checksum
+FROM documents
+"""

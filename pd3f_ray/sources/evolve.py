@@ -104,3 +104,37 @@ UNION ALL
 SELECT doc_id, lang, n_chars, source
 FROM documents WHERE doc_id % 2 = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# partitioned write + partition-pruned read
+# ---------------------------------------------------------------------------
+
+
+def partitioned_write_roundtrip(sf_dir: str, lang: str = "en"):
+    """Hive-partitioned output + path-level pruned read — the storage
+    layout that makes 100 TB outputs navigable: documents written as
+    ``lang=<x>/`` directories (one deterministic rewrite per call), and
+    the read-back opens ONLY the requested partition's directory — the
+    other languages' files are never touched, which is cheaper than any
+    row-group predicate (no footers even read). Output
+    (doc_id, n_chars) of the ``lang='en'`` partition; oracle = the
+    WHERE-clause equivalent over the source table."""
+    from pd3f_ray.sources.corpus import sf_name
+
+    scratch = os.path.join("/tmp/pd3f_ray_partwrite", sf_name(sf_dir))
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"])
+    docs.write_parquet(scratch, partition_cols=["lang"])
+
+    part_dir = os.path.join(scratch, f"lang={lang}")
+    return rd.read_parquet(part_dir, columns=["doc_id", "n_chars"])
+
+
+PARTITIONED_ROUNDTRIP_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+"""

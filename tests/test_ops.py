@@ -1634,3 +1634,63 @@ def test_cms_sketch_is_linear():
     both = _cms_partial(np.concatenate([a_keys, b_keys]),
                         np.concatenate([ones, ones]))
     assert (merged == both).all()
+
+
+def test_table_checksum_oracle(ray_session, con):
+    from pd3f_ray.pipelines.curation import TABLE_CHECKSUM_SQL, table_checksum
+
+    _match(table_checksum(SF), TABLE_CHECKSUM_SQL, con)
+
+
+def test_table_checksum_detects_single_row_change(ray_session, tmp_path):
+    """Changing ONE row's text must change the checksum; re-ordering
+    rows must NOT (the anti-entropy property)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.curation import table_checksum
+
+    texts = [f"doc number {i}" for i in range(50)]
+    base = tmp_path / "ck_a"
+    base.mkdir()
+    pq.write_table(pa.table({"text": pa.array(texts, pa.string())}),
+                   str(base / "documents.parquet"))
+    a = table_checksum(str(base)).to_pandas().iloc[0]
+
+    shuffled = tmp_path / "ck_b"
+    shuffled.mkdir()
+    pq.write_table(pa.table({"text": pa.array(texts[::-1], pa.string())}),
+                   str(shuffled / "documents.parquet"))
+    b = table_checksum(str(shuffled)).to_pandas().iloc[0]
+    assert (a["checksum"], a["n_rows"]) == (b["checksum"], b["n_rows"])
+
+    mutated = tmp_path / "ck_c"
+    mutated.mkdir()
+    texts2 = texts[:]
+    texts2[17] = "doc number 17 CORRUPTED"
+    pq.write_table(pa.table({"text": pa.array(texts2, pa.string())}),
+                   str(mutated / "documents.parquet"))
+    c = table_checksum(str(mutated)).to_pandas().iloc[0]
+    assert c["checksum"] != a["checksum"]
+
+
+def test_partitioned_write_roundtrip_oracle(ray_session, con):
+    from pd3f_ray.sources.evolve import (
+        PARTITIONED_ROUNDTRIP_SQL,
+        partitioned_write_roundtrip,
+    )
+
+    _match(partitioned_write_roundtrip(SF), PARTITIONED_ROUNDTRIP_SQL, con)
+
+
+def test_partitioned_write_creates_lang_dirs(ray_session):
+    import os
+
+    from pd3f_ray.sources.evolve import partitioned_write_roundtrip
+
+    partitioned_write_roundtrip(SF).to_pandas()
+    from pd3f_ray.sources.corpus import sf_name
+
+    scratch = os.path.join("/tmp/pd3f_ray_partwrite", sf_name(SF))
+    dirs = sorted(d for d in os.listdir(scratch) if d.startswith("lang="))
+    assert "lang=en" in dirs and len(dirs) >= 3
