@@ -133,20 +133,26 @@ def _commit_iteration(checkpoint_dir: str, sf_dir: str, k: int,
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     ranks.write_parquet(tmp)
-    stats = ranks.map_batches(
+    import ray
+
+    stat_blocks = ray.get(ranks.map_batches(
         lambda b: pa.table({
             "n": pa.array([b.num_rows], pa.int64()),
             "s": pa.array(
                 [int(b.column("rank").to_numpy(
                     zero_copy_only=False).sum())], pa.int64()),
         }),
-        batch_format="pyarrow").to_pandas()
+        batch_format="pyarrow").materialize().to_arrow_refs())
+    n_nodes = sum(int(x) for b in stat_blocks
+                  for x in b.column("n").to_pylist())
+    sum_rank = sum(int(x) for b in stat_blocks
+                   for x in b.column("s").to_pylist())
     if os.path.exists(final):
         shutil.rmtree(final)
     os.replace(tmp, final)
     rec = {"iter": k, "sf_dir": sf_dir,
-           "n_nodes": int(stats["n"].sum()),
-           "sum_rank": int(stats["s"].sum()),
+           "n_nodes": n_nodes,
+           "sum_rank": sum_rank,
            "completed_at": time.time()}
     with open(os.path.join(checkpoint_dir, ITER_MANIFEST), "a",
               encoding="utf-8") as f:

@@ -517,6 +517,7 @@ GROUP BY window_id
 CMS_W = 2048          # counters per row
 CMS_D = 4             # hash rows
 CMS_PROBES = 20       # users probed in the demo query
+CMS_COMBINE_FANIN = 32  # level-1 tree-combine partitions (dial)
 _CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                        0x165667B19E3779F9, 0x27D4EB2F165667C5],
                       dtype=np.uint64)
@@ -563,13 +564,27 @@ def cms_user_counts(sf_dir: str, n_probes: int = CMS_PROBES):
         m = _cms_partial(keys, counts.astype(np.int64))
         return pa.table({"sketch": pa.array([m.tobytes()], pa.binary())})
 
-    blocks = ray.get(
+    def combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros((CMS_D, CMS_W), np.int64)
+        for raw in batch.column("sketch").to_pylist():
+            acc += np.frombuffer(raw, np.int64).reshape(CMS_D, CMS_W)
+        return pa.table({"sketch": pa.array([acc.tobytes()], pa.binary())})
+
+    # two-level tree combine: at corpus scale the per-block sketch rows
+    # number in the millions (64 KB each) — summing them on the driver
+    # is an OOM. Level 1 sums within CMS_COMBINE_FANIN fixed partitions
+    # (workers), level 2 sums the ≤fan-in survivors in one task; only
+    # ONE 64 KB matrix ever reaches the driver.
+    merged = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .materialize().to_arrow_refs())
-    m = np.zeros((CMS_D, CMS_W), np.int64)
-    for b in blocks:  # one 64 KB row per block — driver folds matrices
-        for raw in b.column("sketch").to_pylist():
-            m += np.frombuffer(raw, np.int64).reshape(CMS_D, CMS_W)
+        .repartition(CMS_COMBINE_FANIN)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+    (raw,) = [r for b in ray.get(merged.to_arrow_refs())
+              for r in b.column("sketch").to_pylist()]
+    m = np.frombuffer(raw, np.int64).reshape(CMS_D, CMS_W)
 
     # exact truth for the probe set (combiner aggregate, tiny output)
     def truth_partial(batch: pa.Table) -> pa.Table:
