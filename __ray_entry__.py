@@ -333,10 +333,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": relational.customer_order_counts,
         # distributed dense global ranking (two-pass range partition)
         "doc_length_rank": relational.doc_length_rank,
+        # NTILE(k) deciles riding the same range-partitioned plan
+        "doc_length_ntile": relational.doc_length_ntile,
         # per-column data-quality profile (blocks×|cols| partial rows)
         "profile_lineitem": relational.profile_lineitem,
         # joins (broadcast + bucketed hash/semi join)
         "nation_revenue": joins.nation_revenue,
+        # percent-of-total over the dimension-scale rollup (integer ppm)
+        "nation_revenue_share": joins.nation_revenue_share,
         "supplier_part_join": joins.supplier_part_join,
         "customers_with_orders": joins.customers_with_orders,
         "click_purchase_matrix": joins.click_purchase_matrix,
@@ -541,8 +545,10 @@ def oracle_sql() -> dict[str, str]:
         "user_favorite_event": relational.USER_FAVORITE_EVENT_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "doc_length_rank": relational.DOC_LENGTH_RANK_SQL,
+        "doc_length_ntile": relational.DOC_LENGTH_NTILE_SQL,
         "profile_lineitem": relational.PROFILE_LINEITEM_SQL,
         "nation_revenue": joins.NATION_REVENUE_SQL,
+        "nation_revenue_share": joins.NATION_REVENUE_SHARE_SQL,
         "supplier_part_join": joins.SUPPLIER_PART_SQL,
         "customers_with_orders": joins.CUSTOMERS_WITH_ORDERS_SQL,
         "click_purchase_matrix": joins.CLICK_PURCHASE_MATRIX_SQL,

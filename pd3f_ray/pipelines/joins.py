@@ -868,3 +868,50 @@ GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY revenue_cents DESC, l_orderkey ASC
 LIMIT {Q3_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# percent-of-total: revenue share per nation
+# ---------------------------------------------------------------------------
+
+
+def nation_revenue_share(sf_dir: str):
+    """Percent-of-total — every BI rollup's last mile: each nation's
+    share of global revenue in integer ppm. The heavy lifting is
+    :func:`nation_revenue` (pre-aggregated exchanges); the share step
+    operates on the DIMENSION-scale result (≤ |nations| rows), so one
+    ``repartition(1)`` puts the whole rollup in a single block and the
+    share is computed in-task — the corpus is never touched again.
+    Output (n_name, revenue_cents, share_ppm)."""
+    rev = nation_revenue(sf_dir)
+
+    def share(batch: pa.Table) -> pa.Table:
+        cents = batch.column("revenue_cents").to_numpy(zero_copy_only=False)
+        total = int(cents.sum())
+        ppm = (cents.astype(np.int64) * 1_000_000) // total
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "revenue_cents": batch.column("revenue_cents"),
+            "share_ppm": pa.array(ppm, pa.int64()),
+        })
+
+    return rev.repartition(1).map_batches(share, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS n_name,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, revenue_cents,
+       CAST(revenue_cents * 1000000
+            // sum(revenue_cents) OVER () AS BIGINT) AS share_ppm
+FROM rev
+"""

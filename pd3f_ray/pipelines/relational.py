@@ -1035,3 +1035,54 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# NTILE: equal-frequency tiling on top of the range-partitioned ranking
+# ---------------------------------------------------------------------------
+
+NTILE_K = 10
+
+
+def doc_length_ntile(sf_dir: str, tiles: int = NTILE_K):
+    """Global NTILE(k) by (n_chars, doc_id) — equal-frequency deciles
+    for length-balanced sampling/bucketing. Rides the SAME two-pass
+    range-partitioned plan as :func:`doc_length_rank` (no global sort
+    barrier); the tile is then a closed-form function of the global
+    row number and the row count, which comes free from parquet
+    metadata (no extra pass). SQL-NTILE semantics: the first
+    ``n mod k`` tiles get one extra row. Output
+    (doc_id, n_chars, tile)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    base, rem = divmod(n, tiles)
+    cut = rem * (base + 1)
+
+    ranked = doc_length_rank(sf_dir)
+
+    def to_tile(batch: pa.Table) -> pa.Table:
+        rnk = batch.column("rnk").to_numpy(zero_copy_only=False)
+        big = (rnk - 1) // (base + 1) + 1
+        small = rem + (rnk - cut - 1) // max(base, 1) + 1
+        tile = np.where(rnk <= cut, big, small).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "tile": pa.array(tile, pa.int64()),
+        })
+
+    return ranked.map_batches(to_tile, batch_format="pyarrow")
+
+
+def doc_length_ntile_sql(tiles: int = NTILE_K) -> str:
+    return f"""
+SELECT doc_id, n_chars,
+       CAST(ntile({tiles}) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS tile
+FROM documents
+"""
+
+
+DOC_LENGTH_NTILE_SQL = doc_length_ntile_sql()

@@ -1694,3 +1694,41 @@ def test_partitioned_write_creates_lang_dirs(ray_session):
     scratch = os.path.join("/tmp/pd3f_ray_partwrite", sf_name(SF))
     dirs = sorted(d for d in os.listdir(scratch) if d.startswith("lang="))
     assert "lang=en" in dirs and len(dirs) >= 3
+
+
+def test_doc_length_ntile_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        DOC_LENGTH_NTILE_SQL,
+        doc_length_ntile,
+    )
+
+    _match(doc_length_ntile(SF), DOC_LENGTH_NTILE_SQL, con)
+
+
+def test_doc_length_ntile_tile_sizes(ray_session):
+    """SQL NTILE semantics: tile sizes differ by at most one and the
+    LARGER tiles come first."""
+    from pd3f_ray.pipelines.relational import NTILE_K, doc_length_ntile
+
+    df = doc_length_ntile(SF).to_pandas()
+    sizes = df.groupby("tile").size()
+    assert set(sizes.index) == set(range(1, NTILE_K + 1))
+    assert sizes.max() - sizes.min() <= 1
+    assert (sizes.sort_index().diff().dropna() <= 0).all()
+
+
+def test_nation_revenue_share_oracle(ray_session, con):
+    from pd3f_ray.pipelines.joins import (
+        NATION_REVENUE_SHARE_SQL,
+        nation_revenue_share,
+    )
+
+    _match(nation_revenue_share(SF), NATION_REVENUE_SHARE_SQL, con)
+
+
+def test_nation_revenue_share_sums_to_total(ray_session):
+    from pd3f_ray.pipelines.joins import nation_revenue_share
+
+    df = nation_revenue_share(SF).to_pandas()
+    # floor division loses < |rows| ppm in total
+    assert 1_000_000 - len(df) <= df["share_ppm"].sum() <= 1_000_000
