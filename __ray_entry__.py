@@ -385,6 +385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy entity resolution: edit-distance ≤2 name pairs over the
         # vocabulary rollup (length-banded, ghost-replicated)
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        # …closed end-to-end into canonical entities (components of the
+        # fuzzy edge list; recursive-CTE oracle)
+        "name_entity_clusters": dedup.name_entity_clusters,
         "minhash_pairs": dedup.minhash_pairs,      # approximate → rows-only
         "simhash_docs": dedup.simhash_docs,        # bit sketch → rows-only
         "simhash_pairs": dedup.simhash_pairs,      # pigeonhole-exact, rows-only
@@ -578,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": dedup.jaccard_pairs_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_sql(),
         "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
+        "name_entity_clusters": dedup.NAME_ENTITY_CLUSTERS_SQL,
         "dedup_clusters": dedup.dedup_clusters_sql(),
         "dup_span_stats": spandedup.DUP_SPAN_STATS_SQL,
         "strip_dup_spans": spandedup.STRIP_DUP_SPANS_SQL,

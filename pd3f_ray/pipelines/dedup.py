@@ -1254,3 +1254,103 @@ FROM names a
 JOIN names b ON a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= {EDIT_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# entity resolution end-to-end: fuzzy pairs → components → canonical name
+# ---------------------------------------------------------------------------
+
+
+def name_entity_clusters(sf_dir: str, max_dist: int = EDIT_MAX):
+    """Fuzzy entity resolution END-TO-END: the :func:`fuzzy_name_pairs`
+    edge list is closed into connected components and every distinct
+    name is mapped to its component's canonical representative (the
+    lexicographically smallest member) — the master-data table that
+    turns 'red bolt'/'old bolt' variants into one entity key.
+
+    The union-find runs in ONE task over the VOCABULARY-scale tables
+    (names + fuzzy edges, both bounded by the name domain — the same
+    justification as fuzzy_name_pairs; for vocabularies beyond a
+    worker's heap the distributed min-label propagation of
+    ``dedup_clusters`` is the scale path and this op's plan would swap
+    in its exchange). Output (name, canonical); oracle = recursive-CTE
+    reachability + min() over the same Levenshtein edges."""
+    pairs = fuzzy_name_pairs(sf_dir, max_dist=max_dist)
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                            columns=["p_name"])
+    singles = (
+        parts.map_batches(
+            lambda b: pa.table({"p_name": b.column("p_name").unique()}),
+            batch_format="pyarrow")
+        .groupby("p_name")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda b: pa.table({
+                "name_a": b.column("p_name"),
+                "name_b": b.column("p_name"),
+                "dist": pa.array(
+                    np.zeros(b.num_rows, np.int64), pa.int64()),
+            }),
+            batch_format="pyarrow")
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        a = batch.column("name_a").to_pylist()
+        b = batch.column("name_b").to_pylist()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a, b):
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by the smaller name so the root IS the canonical
+                lo, hi = sorted((rx, ry))
+                parent[hi] = lo
+        names = sorted(parent)
+        return pa.table({
+            "name": pa.array(names, pa.string()),
+            "canonical": pa.array([find(n) for n in names], pa.string()),
+        })
+
+    # pairs blocks are pandas (map_groups output); singles are arrow —
+    # normalize before union, repartition's block builder refuses a mix
+    pairs_arrow = pairs.map_batches(lambda b: b, batch_format="pyarrow")
+
+    return (
+        pairs_arrow.union(singles)
+        .repartition(1)
+        .map_batches(close, batch_format="pyarrow", batch_size=None)
+    )
+
+
+NAME_ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+pairs AS (
+  SELECT a.p_name AS na, b.p_name AS nb
+  FROM names a JOIN names b ON a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {EDIT_MAX}
+),
+edges AS (
+  SELECT na, nb FROM pairs
+  UNION SELECT nb, na FROM pairs
+  UNION SELECT p_name, p_name FROM names
+),
+reach(src, dst) AS (
+  SELECT na, nb FROM edges
+  UNION
+  SELECT r.src, e.nb FROM reach r JOIN edges e ON r.dst = e.na
+)
+SELECT src AS name, min(dst) AS canonical
+FROM reach
+GROUP BY src
+"""

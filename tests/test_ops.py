@@ -1732,3 +1732,25 @@ def test_nation_revenue_share_sums_to_total(ray_session):
     df = nation_revenue_share(SF).to_pandas()
     # floor division loses < |rows| ppm in total
     assert 1_000_000 - len(df) <= df["share_ppm"].sum() <= 1_000_000
+
+
+def test_name_entity_clusters_oracle(ray_session, con):
+    from pd3f_ray.pipelines.dedup import (
+        NAME_ENTITY_CLUSTERS_SQL,
+        name_entity_clusters,
+    )
+
+    _match(name_entity_clusters(SF), NAME_ENTITY_CLUSTERS_SQL, con)
+
+
+def test_name_entity_clusters_canonical_is_member_min(ray_session):
+    """Every canonical must be a member of its own cluster and the
+    minimum of the names mapped to it; clusters must be non-trivial
+    (the part-name vocabulary has distance-≤2 neighbors)."""
+    from pd3f_ray.pipelines.dedup import name_entity_clusters
+
+    df = name_entity_clusters(SF).to_pandas()
+    by = df.groupby("canonical")["name"].apply(list)
+    assert all(c == min(members) for c, members in by.items())
+    assert all(c in members for c, members in by.items())
+    assert (by.str.len() > 1).any()
