@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PIVOT: per-source language-mix matrix (wide reporting shape)
         "source_lang_matrix": relational.source_lang_matrix,
         "customer_rollup": relational.customer_rollup,
+        # CUBE: the full 2x2 grouping lattice in one exchange
+        "events_cube": relational.events_cube,
         # grouped MODE via packed-int64 Max (two combiner exchanges)
         "user_favorite_event": relational.user_favorite_event,
         "customer_order_counts": relational.customer_order_counts,
@@ -348,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q3-flavor: pushed-down filters + AQE semi/broadcast +
         # pre-aggregated hash join + per-block top-k partials
         "q3_shipping_priority": joins.q3_shipping_priority,
+        # TPC-H Q4-flavor: EXISTS as a witness-deduped semi join
+        "q4_order_priority": joins.q4_order_priority,
         # graph analytics (integer PageRank, exact vs unrolled SQL)
         "pagerank": graph.pagerank,
         # windowed / order-dependent (bucketed shuffle + in-group sort)
@@ -545,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "props_k_stats": relational.PROPS_K_STATS_SQL,
         "source_lang_matrix": relational.SOURCE_LANG_MATRIX_SQL,
         "customer_rollup": relational.CUSTOMER_ROLLUP_SQL,
+        "events_cube": relational.EVENTS_CUBE_SQL,
         "user_favorite_event": relational.USER_FAVORITE_EVENT_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "doc_length_rank": relational.DOC_LENGTH_RANK_SQL,
@@ -557,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "click_purchase_matrix": joins.CLICK_PURCHASE_MATRIX_SQL,
         "region_brand_revenue": joins.REGION_BRAND_REVENUE_SQL,
         "q3_shipping_priority": joins.Q3_SHIPPING_SQL,
+        "q4_order_priority": joins.Q4_ORDER_PRIORITY_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,

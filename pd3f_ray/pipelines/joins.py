@@ -915,3 +915,78 @@ SELECT n_name, revenue_cents,
             // sum(revenue_cents) OVER () AS BIGINT) AS share_ppm
 FROM rev
 """
+
+
+# ---------------------------------------------------------------------------
+# Q4-flavor: order-priority counts gated on an EXISTS lineitem predicate
+# ---------------------------------------------------------------------------
+
+Q4_FROM = "1999-01-01"
+Q4_TO = "1999-07-01"
+
+
+def q4_order_priority(sf_dir: str, num_buckets: int = JOIN_BUCKETS):
+    """TPC-H Q4-flavor: how many orders per priority, in a date window,
+    have AT LEAST ONE late line (l_shipdate after the order quarter's
+    end) — the EXISTS-correlated-subquery shape, expressed as the
+    engine's bucketed SEMI join: the lineitem side is pre-collapsed to
+    its DISTINCT qualifying orderkeys inside map_batches (an EXISTS
+    witness needs one row, so per-block dedup bounds the exchange),
+    orders carry only (orderkey, priority) with the window pushed into
+    the read. Output (o_orderpriority, n_orders)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count
+
+    lo = _dt.datetime.fromisoformat(Q4_FROM)
+    hi = _dt.datetime.fromisoformat(Q4_TO)
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+               & (pads.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    lineitem = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+        filter=pads.field("l_shipdate") >= hi,
+    )
+
+    def witness_keys(batch: pa.Table) -> pa.Table:
+        keys = np.unique(
+            batch.column("l_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64())})
+
+    witnesses = lineitem.map_batches(witness_keys, batch_format="pyarrow")
+
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("o_orderpriority", pa.string())])
+    hit = semi_join(orders, witnesses, "o_orderkey", "l_orderkey",
+                    num_buckets=num_buckets, left_schema=orders_schema)
+
+    return (
+        hit.map_batches(
+            lambda b: b.select(["o_orderpriority"]),
+            batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+Q4_ORDER_PRIORITY_SQL = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_FROM}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= TIMESTAMP '{Q4_TO}')
+GROUP BY o.o_orderpriority
+"""

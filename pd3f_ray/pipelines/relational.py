@@ -1086,3 +1086,68 @@ FROM documents
 
 
 DOC_LENGTH_NTILE_SQL = doc_length_ntile_sql()
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets: all four (event_type × hour-of-day) combinations
+# ---------------------------------------------------------------------------
+
+
+def events_cube(sf_dir: str):
+    """CUBE(event_type, hour_of_day) in ONE pass — the full 2² grouping
+    lattice (both keys, each alone, grand total), the other half of the
+    grouping-sets family next to :func:`customer_rollup`'s ROLLUP. Same
+    plan shape: map-side 4-way explode with sentinels ('ALL' / -1) +
+    per-batch pre-aggregation, ONE exchange carrying ≤ 4 partial rows
+    per (block, group). Output (event_type, hour, n_events,
+    sum_value_cents)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(),
+                        dtype=object)
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = ((us // 3_600_000_000) % 24).astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False) * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        n = len(et)
+        all_t = np.full(n, "ALL", dtype=object)
+        all_h = np.full(n, -1, dtype=np.int64)
+        levels = [(et, hour), (et, all_h), (all_t, hour), (all_t, all_h)]
+        t = pa.table({
+            "event_type": pa.array(
+                np.concatenate([l[0] for l in levels]), pa.string()),
+            "hour": pa.array(
+                np.concatenate([l[1] for l in levels]), pa.int64()),
+            "n_events": pa.array(np.ones(4 * n, np.int64)),
+            "cents": pa.array(np.tile(cents, 4), pa.int64()),
+        })
+        g = t.group_by(["event_type", "hour"]).aggregate(
+            [("n_events", "sum"), ("cents", "sum")])
+        return g.rename_columns(
+            ["event_type", "hour", "n_events", "sum_value_cents"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+       ELSE event_type END AS event_type,
+       CAST(CASE WHEN GROUPING(h) = 1 THEN -1 ELSE h END AS BIGINT)
+           AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h, value
+      FROM events)
+GROUP BY CUBE (event_type, h)
+"""

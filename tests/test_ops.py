@@ -1754,3 +1754,32 @@ def test_name_entity_clusters_canonical_is_member_min(ray_session):
     assert all(c == min(members) for c, members in by.items())
     assert all(c in members for c, members in by.items())
     assert (by.str.len() > 1).any()
+
+
+def test_events_cube_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import EVENTS_CUBE_SQL, events_cube
+
+    _match(events_cube(SF), EVENTS_CUBE_SQL, con)
+
+
+def test_events_cube_lattice_consistency(ray_session):
+    """The grand total must equal the sum of each single-key slice."""
+    from pd3f_ray.pipelines.relational import events_cube
+
+    df = events_cube(SF).to_pandas()
+    grand = df[(df["event_type"] == "ALL") & (df["hour"] == -1)]
+    assert len(grand) == 1
+    n_all = int(grand["n_events"].iloc[0])
+    by_type = df[(df["event_type"] != "ALL") & (df["hour"] == -1)]
+    by_hour = df[(df["event_type"] == "ALL") & (df["hour"] != -1)]
+    assert int(by_type["n_events"].sum()) == n_all
+    assert int(by_hour["n_events"].sum()) == n_all
+
+
+def test_q4_order_priority_oracle(ray_session, con):
+    from pd3f_ray.pipelines.joins import (
+        Q4_ORDER_PRIORITY_SQL,
+        q4_order_priority,
+    )
+
+    _match(q4_order_priority(SF), Q4_ORDER_PRIORITY_SQL, con)
