@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl snapshot consolidation: keep-latest per canonical URL,
         # argmax as ONE packed-int64 Max combiner aggregate
         "url_dedup_latest": webtext.url_dedup_latest,
+        # robots-style per-host disallow-prefix filter (broadcast rules)
+        "robots_filter": webtext.robots_filter,
         # the crawl-side composed flagship: snapshots → canonicalize →
         # keep-latest (map-side partial argmax, losers never ship) →
         # boilerplate strip, byte-per-url end-to-end oracle
@@ -358,6 +360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": windows.user_sessions,
         "purchase_attribution": windows.purchase_attribution,
         "events_sliding": windows.events_sliding,
+        # sliding-window COUNT DISTINCT (explode + in-batch pair dedup)
+        "sliding_unique_users": windows.sliding_unique_users,
         "latest_event_per_user": windows.latest_event_per_user,
         "user_running_total": windows.user_running_total,
         "late_events": windows.late_events,
@@ -538,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_corpus": webtext_mod.ANCHOR_TEXT_SQL,
         "url_normalize": webtext_mod.URL_NORMALIZE_SQL,
         "url_dedup_latest": webtext_mod.URL_DEDUP_LATEST_SQL,
+        "robots_filter": webtext_mod.ROBOTS_FILTER_SQL,
         "crawl_consolidation_pipeline": webtext_mod.CRAWL_CONSOLIDATION_SQL,
         "q1_pricing": relational.Q1_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,
@@ -567,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": windows.USER_SESSIONS_SQL,
         "purchase_attribution": windows.PURCHASE_ATTRIBUTION_SQL,
         "events_sliding": windows.EVENTS_SLIDING_SQL,
+        "sliding_unique_users": windows.SLIDING_UNIQUE_SQL,
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "user_running_total": windows.RUNNING_TOTAL_SQL,
         "late_events": windows.LATE_EVENTS_SQL,

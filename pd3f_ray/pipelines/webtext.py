@@ -476,3 +476,67 @@ SELECT 'http://snap' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/a/'
        text || ' rev ' || CAST(2 - (doc_id % 3) AS VARCHAR) AS text
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# robots-style URL blocklist filter (broadcast rules, map-side)
+# ---------------------------------------------------------------------------
+
+_BLOCKED_HOSTS = 10  # fixture: src0..src9 disallow /private
+_BLOCK_PREFIX = "/private"
+
+
+def robots_filter(sf_dir: str):
+    """Crawl-politeness URL filtering — the per-host disallow-prefix
+    rule of robots.txt, applied corpus-wide: the rule table (host →
+    disallowed path prefixes) is ``ray.put`` ONCE (rules are KB–MB for
+    real crawls, never corpus-scale) and every batch filters map-side;
+    no exchange. Fixture: every document gets a deterministic URL,
+    docs with ``doc_id % 7 == 0`` land under ``/private`` and hosts
+    src0..src9 disallow that prefix — so the kept set is closed-form
+    for the oracle. Output (doc_id, url) of the KEPT rows."""
+    import numpy as np
+    import ray
+
+    from pd3f_ray.functions.urls import url_host
+
+    rules = {f"src{h}.example.com": (_BLOCK_PREFIX,)
+             for h in range(_BLOCKED_HOSTS)}
+    rules_ref = ray.put(rules)
+
+    def build_and_filter(batch: pa.Table) -> pa.Table:
+        r = ray.get(rules_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls, keep = [], []
+        for d in ids:
+            d = int(d)
+            section = "private" if d % 7 == 0 else "pub"
+            u = f"http://src{d % 20}.example.com/{section}/{d}"
+            urls.append(u)
+            host = url_host(u)
+            path = u.split(".com", 1)[1]
+            banned = any(path.startswith(p) for p in r.get(host, ()))
+            keep.append(not banned)
+        t = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+        })
+        return t.filter(pa.array(np.asarray(keep, bool)))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    return ds.map_batches(build_and_filter, batch_format="pyarrow")
+
+
+ROBOTS_FILTER_SQL = f"""
+WITH built AS (
+  SELECT doc_id,
+         'http://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/'
+             || CASE WHEN doc_id % 7 = 0 THEN 'private' ELSE 'pub' END
+             || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id, url
+FROM built
+WHERE NOT (doc_id % 7 = 0 AND doc_id % 20 < {_BLOCKED_HOSTS})
+"""

@@ -779,3 +779,67 @@ SELECT event_id, user_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# sliding-window DISTINCT: unique users per 1h window advancing 15 min
+# ---------------------------------------------------------------------------
+
+
+def sliding_unique_users(sf_dir: str):
+    """Unique users per sliding 1-hour window (15-minute slide) — the
+    windowed COUNT DISTINCT composed with window replication: an event
+    contributes to 4 windows, so the map side explodes to (window,
+    user) pairs but DEDUPES them within the batch before anything
+    ships; the first exchange then carries distinct pairs per block,
+    the second counts per window over one-row-per-(pair) survivors.
+    Both exchanges are combiner-only. Output (window_id, n_users)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+    k = SLIDE_WINDOW_US // SLIDE_US
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        us = (batch.column("ts").cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        w_max = us // SLIDE_US
+        wins = np.concatenate([w_max - off for off in range(k)])
+        users = np.tile(uid, k)
+        t = pa.table({
+            "window_id": pa.array(wins, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+        })
+        return t.group_by(["window_id", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["window_id", "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def window_partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["window_id"])
+             .group_by("window_id").aggregate([([], "count_all")]))
+        return g.rename_columns(["window_id", "n_users"])
+
+    return (
+        pairs.map_batches(window_partial, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+SLIDING_UNIQUE_SQL = f"""
+WITH exploded AS (
+  SELECT DISTINCT
+         unnest(generate_series(
+            CAST(epoch_us(ts) // {SLIDE_US} AS BIGINT)
+                - {SLIDE_WINDOW_US // SLIDE_US - 1},
+            CAST(epoch_us(ts) // {SLIDE_US} AS BIGINT))) AS window_id,
+         user_id
+  FROM events
+)
+SELECT window_id, CAST(count(*) AS BIGINT) AS n_users
+FROM exploded GROUP BY window_id
+"""

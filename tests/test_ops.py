@@ -1783,3 +1783,30 @@ def test_q4_order_priority_oracle(ray_session, con):
     )
 
     _match(q4_order_priority(SF), Q4_ORDER_PRIORITY_SQL, con)
+
+
+def test_sliding_unique_users_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import (
+        SLIDING_UNIQUE_SQL,
+        sliding_unique_users,
+    )
+
+    _match(sliding_unique_users(SF), SLIDING_UNIQUE_SQL, con)
+
+
+def test_robots_filter_oracle(ray_session, con):
+    from pd3f_ray.pipelines.webtext import ROBOTS_FILTER_SQL, robots_filter
+
+    _match(robots_filter(SF), ROBOTS_FILTER_SQL, con)
+
+
+def test_robots_filter_blocks_only_ruled_hosts(ray_session):
+    """Private pages on NON-blocked hosts must survive; private pages on
+    blocked hosts must not."""
+    from pd3f_ray.pipelines.webtext import _BLOCKED_HOSTS, robots_filter
+
+    df = robots_filter(SF).to_pandas()
+    private = df[df["url"].str.contains("/private/")]
+    assert len(private) > 0  # non-blocked hosts keep their /private
+    hosts = private["doc_id"] % 20
+    assert (hosts >= _BLOCKED_HOSTS).all()
