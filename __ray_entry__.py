@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": relational.props_k_stats,
         # PIVOT: per-source language-mix matrix (wide reporting shape)
         "source_lang_matrix": relational.source_lang_matrix,
+        # cross-table foreign-key audit (witness-deduped anti joins)
+        "referential_integrity": relational.referential_integrity,
         "customer_rollup": relational.customer_rollup,
         # CUBE: the full 2x2 grouping lattice in one exchange
         "events_cube": relational.events_cube,
@@ -457,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (stub decode, real actor-pool plumbing)
         "media_features": multimodal.media_features_flat,  # rows-only
         "media_kind_summary": multimodal.media_kind_summary,
+        # exact content dedup over the BINARY media column (digest
+        # grouping must coincide with the generative rule)
+        "media_dedup": multimodal.media_dedup,
         # web-corpus curation (CCNet/Gopher-style passes)
         "domain_stats": webcurate.domain_stats,
         "gopher_quality": webcurate.gopher_quality,
@@ -553,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_mad": relational.EVENT_VALUE_MAD_SQL,
         "props_k_stats": relational.PROPS_K_STATS_SQL,
         "source_lang_matrix": relational.SOURCE_LANG_MATRIX_SQL,
+        "referential_integrity": relational.REFERENTIAL_INTEGRITY_SQL,
         "customer_rollup": relational.CUSTOMER_ROLLUP_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
         "user_favorite_event": relational.USER_FAVORITE_EVENT_SQL,
@@ -619,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": sketches.DISTINCT_USERS_SQL,
         "hourly_unique_users": sketches.HOURLY_UNIQUE_SQL,
         "media_kind_summary": multimodal.MEDIA_KIND_SUMMARY_SQL,
+        "media_dedup": multimodal.MEDIA_DEDUP_SQL,
         "domain_stats": webcurate.DOMAIN_STATS_SQL,
         "gopher_quality": webcurate.GOPHER_QUALITY_SQL,
         "doc_repetition": webcurate.DOC_REPETITION_SQL,

@@ -275,3 +275,56 @@ SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
 FROM documents
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# media content dedup (byte-digest grouping over the binary column)
+# ---------------------------------------------------------------------------
+
+MEDIA_DUP_MOD = 50  # dedup fixture: only this many distinct payloads
+
+
+def media_dedup(sf_dir: str):
+    """Exact content dedup over the BINARY media column — the
+    image/audio counterpart of text ``dedup_exact``: group by the
+    payload's digest, keep the smallest media_id. The exchange moves
+    32-byte digests, never payloads. Fixture: payload content is a pure
+    function of ``media_id % MEDIA_DUP_MOD``, so the byte-level digest
+    grouping must coincide exactly with the generative rule — which is
+    what the SQL oracle checks WITHOUT being able to hash the bytes.
+    Output (keep_id, n_copies)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+
+    def gen_and_digest(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        digests = []
+        for did in ids:
+            src = did % MEDIA_DUP_MOD
+            n_bytes = PAYLOAD_BASE + (src % PAYLOAD_MOD) * PAYLOAD_STEP
+            payload = _payload(src, n_bytes)
+            digests.append(hashlib.md5(payload).hexdigest())
+        return pa.table({
+            "digest": pa.array(digests, pa.string()),
+            "media_id": pa.array(ids, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(gen_and_digest, batch_format="pyarrow")
+        .groupby("digest")
+        .aggregate(Min("media_id", alias_name="keep_id"),
+                   Count(alias_name="n_copies"))
+    )
+    return agg.map_batches(
+        lambda b: b.select(["keep_id", "n_copies"]),
+        batch_format="pyarrow")
+
+
+MEDIA_DEDUP_SQL = f"""
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY doc_id % {MEDIA_DUP_MOD}
+"""

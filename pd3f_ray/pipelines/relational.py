@@ -1151,3 +1151,82 @@ FROM (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h, value
       FROM events)
 GROUP BY CUBE (event_type, h)
 """
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (cross-table orphan counts)
+# ---------------------------------------------------------------------------
+
+
+def referential_integrity(sf_dir: str):
+    """Cross-table integrity audit — before shipping a 100 TB corpus
+    you prove the foreign keys hold: count lineitems whose orderkey has
+    no order, and orders whose custkey has no customer. Each check is
+    ONE bucketed ANTI join over pre-collapsed distinct keys (an orphan
+    witness needs one row per key, so the exchange carries distinct
+    keys, never facts), then a one-row partial-count fold. Output a
+    single row (n_lineitem, n_orders, lineitem_orphans, order_orphans)
+    — zeros prove the audit ran against intact data, the injected-break
+    test proves it detects damage."""
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.joins import anti_join  # noqa: F401
+    from ray.data.aggregate import Count
+
+    n_li = pq.read_metadata(
+        os.path.join(sf_dir, "lineitem.parquet")).num_rows
+    n_ord = pq.read_metadata(
+        os.path.join(sf_dir, "orders.parquet")).num_rows
+
+    def distinct_col(table: str, col: str):
+        ds = rd.read_parquet(_pq(sf_dir, table), columns=[col])
+
+        def uniq(batch: pa.Table) -> pa.Table:
+            v = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+            return pa.table({col: pa.array(v.astype(np.int64), pa.int64())})
+
+        return ds.map_batches(uniq, batch_format="pyarrow")
+
+    def orphan_count(left, right, lk, rk) -> "rd.Dataset":
+        schema = pa.schema([(lk, pa.int64())])
+        orphans = anti_join(left, right, lk, rk, left_schema=schema)
+        # per-block distinct keys can repeat ACROSS blocks — count
+        # distinct orphan keys, not anti-join rows
+        distinct = orphans.groupby(lk).aggregate(Count(alias_name="k"))
+        return distinct.map_batches(
+            lambda b: pa.table({"n": pa.array([b.num_rows], pa.int64())}),
+            batch_format="pyarrow")
+
+    li_orphans = orphan_count(distinct_col("lineitem", "l_orderkey"),
+                              distinct_col("orders", "o_orderkey"),
+                              "l_orderkey", "o_orderkey")
+    ord_orphans = orphan_count(distinct_col("orders", "o_custkey"),
+                               distinct_col("customer", "c_custkey"),
+                               "o_custkey", "c_custkey")
+
+    def total(ds) -> int:
+        blocks = ray.get(ds.materialize().to_arrow_refs())
+        return sum(int(x) for b in blocks
+                   if "n" in b.column_names  # trailing empty-schema block
+                   for x in b.column("n").to_pylist())
+
+    li_n, ord_n = total(li_orphans), total(ord_orphans)
+
+    return rd.from_arrow(pa.table({
+        "n_lineitem": pa.array([n_li], pa.int64()),
+        "n_orders": pa.array([n_ord], pa.int64()),
+        "lineitem_orphans": pa.array([li_n], pa.int64()),
+        "order_orphans": pa.array([ord_n], pa.int64()),
+    }))
+
+
+REFERENTIAL_INTEGRITY_SQL = """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           AS lineitem_orphans,
+       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS order_orphans
+"""

@@ -1810,3 +1810,54 @@ def test_robots_filter_blocks_only_ruled_hosts(ray_session):
     assert len(private) > 0  # non-blocked hosts keep their /private
     hosts = private["doc_id"] % 20
     assert (hosts >= _BLOCKED_HOSTS).all()
+
+
+def test_media_dedup_oracle(ray_session, con):
+    from pd3f_ray.pipelines.multimodal import MEDIA_DEDUP_SQL, media_dedup
+
+    _match(media_dedup(SF), MEDIA_DEDUP_SQL, con)
+
+
+def test_referential_integrity_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        REFERENTIAL_INTEGRITY_SQL,
+        referential_integrity,
+    )
+
+    _match(referential_integrity(SF), REFERENTIAL_INTEGRITY_SQL, con)
+
+
+def test_referential_integrity_detects_injected_break(ray_session,
+                                                      tmp_path):
+    """Copy the tables, point some lineitems at a nonexistent orderkey —
+    the audit must count exactly those orphan KEYS (distinct, not
+    rows)."""
+    import shutil
+
+    import duckdb as _duck
+
+    from pd3f_ray.pipelines.relational import referential_integrity
+
+    d = tmp_path / "broken"
+    d.mkdir()
+    for t in ("lineitem", "orders", "customer"):
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    con2 = _duck.connect()
+    con2.execute(f"""
+        COPY (SELECT * REPLACE (CASE WHEN l_linenumber = 1
+                                      AND l_orderkey % 10 = 0
+                                     THEN -l_orderkey - 1
+                                     ELSE l_orderkey END AS l_orderkey)
+              FROM read_parquet('{SF}/lineitem.parquet'))
+        TO '{d / "lineitem.parquet"}' (FORMAT PARQUET)
+    """)
+    expected = con2.execute(f"""
+        SELECT count(DISTINCT l_orderkey)
+        FROM read_parquet('{d / "lineitem.parquet"}')
+        WHERE l_orderkey NOT IN
+              (SELECT o_orderkey FROM read_parquet('{d / "orders.parquet"}'))
+    """).fetchone()[0]
+    assert expected > 0
+    row = referential_integrity(str(d)).to_pandas().iloc[0]
+    assert int(row["lineitem_orphans"]) == expected
+    assert int(row["order_orphans"]) == 0
