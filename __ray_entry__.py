@@ -321,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": relational.segment_order_stats,
         "events_hourly": relational.events_hourly,
         "event_value_quantiles": relational.event_value_quantiles,
+        # Q6-flavor: every predicate pushed into the read, no exchange
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
         "event_value_histogram": relational.event_value_histogram,
         # robust median/MAD outlier profile from the same bounded
         # distinct-value histogram plan
@@ -417,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": textstats.stratified_sample,
         # Efraimidis–Spirakis weighted sample w/o replacement (A-ES)
         "weighted_sample": textstats.weighted_sample,
+        # …resolved per language (grouped top-k partials)
+        "weighted_sample_per_lang": textstats.weighted_sample_per_lang,
         "top_tokens": textstats.top_tokens,
         "top_tokens_per_lang": textstats.top_tokens_per_lang,
         "top_bigrams": textstats.top_bigrams,
@@ -554,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
+        "q6_forecast_revenue": relational.Q6_FORECAST_SQL,
         "event_value_histogram": relational.EVENT_VALUE_HISTOGRAM_SQL,
         "event_value_mad": relational.EVENT_VALUE_MAD_SQL,
         "props_k_stats": relational.PROPS_K_STATS_SQL,
@@ -612,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": textstats.SAMPLE_DOCS_SQL,
         "stratified_sample": textstats.stratified_sample_sql(),
         "weighted_sample": textstats.WEIGHTED_SAMPLE_SQL,
+        "weighted_sample_per_lang": textstats.WEIGHTED_SAMPLE_PER_LANG_SQL,
         "top_tokens": textstats.top_tokens_sql(),
         "top_tokens_per_lang": textstats.top_tokens_per_lang_sql(),
         "top_bigrams": textstats.top_bigrams_sql(),

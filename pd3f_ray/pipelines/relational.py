@@ -1230,3 +1230,74 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
            AS order_orphans
 """
+
+
+# ---------------------------------------------------------------------------
+# Q6-flavor: pure predicate-pushdown aggregate (no exchange at all)
+# ---------------------------------------------------------------------------
+
+Q6_FROM = "1998-01-01"
+Q6_TO = "1999-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY_MAX = 24
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-flavor: potential revenue from lifting small discounts —
+    the purest scan shape: every predicate (shipdate window, discount
+    band, quantity cap) is pushed INTO the parquet read so whole row
+    groups are skipped on storage, the projection is 2 columns, and the
+    aggregate is map-side partials + a one-row combine. No exchange of
+    data rows anywhere. Output one row (revenue_cents, n_items)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo = _dt.datetime.fromisoformat(Q6_FROM)
+    hi = _dt.datetime.fromisoformat(Q6_TO)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+               & (pads.field("l_shipdate") < hi)
+               & (pads.field("l_discount") >= Q6_DISC_LO)
+               & (pads.field("l_discount") <= Q6_DISC_HI)
+               & (pads.field("l_quantity") < Q6_QTY_MAX),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        v = ep * dc * 100.0
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_items": pa.array([len(cents)], pa.int64()),
+        })
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": pa.array(
+                [pc.sum(batch.column("revenue_cents")).as_py() or 0],
+                pa.int64()),
+            "n_items": pa.array(
+                [pc.sum(batch.column("n_items")).as_py() or 0], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
+Q6_FORECAST_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}'
+  AND l_shipdate <  TIMESTAMP '{Q6_TO}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_MAX}
+"""

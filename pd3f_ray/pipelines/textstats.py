@@ -640,3 +640,77 @@ LIMIT {k}
 
 
 WEIGHTED_SAMPLE_SQL = weighted_sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# grouped weighted sampling: A-ES top-k per language
+# ---------------------------------------------------------------------------
+
+WSAMPLE_LANG_K = 10
+
+
+def weighted_sample_per_lang(sf_dir: str, k: int = WSAMPLE_LANG_K):
+    """Weighted sampling without replacement PER GROUP — the A-ES key of
+    :func:`weighted_sample` resolved per language (k longest-biased
+    docs per lang), the shape a balanced multilingual training mix
+    actually draws. Scale plan = the ``top_tokens_per_lang`` pattern:
+    per-block per-lang top-k partials first, so the final
+    ``groupby(lang)`` resolve sees ≤ blocks×k rows per language, never
+    the corpus. Output (lang, doc_id, n_chars)."""
+    import math
+
+    from pd3f_ray.functions.textfns import md5_hex
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        keys = np.asarray(
+            [math.log((int(md5_hex(str(d))[:13], 16) + 1) / _U52)
+             for d in ids], np.float64) / w
+        return pa.table({
+            "lang": batch.column("lang"),
+            "doc_id": batch.column("doc_id"),
+            "n_chars": batch.column("n_chars"),
+            "key": pa.array(keys, pa.float64()),
+        })
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(["lang", "key", "doc_id"],
+                                  ascending=[True, False, True])
+                .groupby("lang", sort=False).head(k))
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.sort_values(["key", "doc_id"],
+                                 ascending=[False, True]).head(k))
+        return pd.DataFrame({
+            "lang": out["lang"].to_numpy(object),
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "n_chars": out["n_chars"].to_numpy(np.int64),
+        })
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .map_batches(block_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def weighted_sample_per_lang_sql(k: int = WSAMPLE_LANG_K) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 ::BIGINT + 1) / {_U52!r}) / n_chars AS key
+  FROM documents
+)
+SELECT lang, doc_id, n_chars
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY lang
+                           ORDER BY key DESC, doc_id ASC) <= {k}
+"""
+
+
+WEIGHTED_SAMPLE_PER_LANG_SQL = weighted_sample_per_lang_sql()

@@ -1861,3 +1861,34 @@ def test_referential_integrity_detects_injected_break(ray_session,
     row = referential_integrity(str(d)).to_pandas().iloc[0]
     assert int(row["lineitem_orphans"]) == expected
     assert int(row["order_orphans"]) == 0
+
+
+def test_q6_forecast_revenue_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        Q6_FORECAST_SQL,
+        q6_forecast_revenue,
+    )
+
+    _match(q6_forecast_revenue(SF), Q6_FORECAST_SQL, con)
+
+
+def test_weighted_sample_per_lang_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import (
+        WEIGHTED_SAMPLE_PER_LANG_SQL,
+        weighted_sample_per_lang,
+    )
+
+    _match(weighted_sample_per_lang(SF), WEIGHTED_SAMPLE_PER_LANG_SQL, con)
+
+
+def test_weighted_sample_per_lang_covers_all_langs(ray_session, con):
+    from pd3f_ray.pipelines.textstats import (
+        WSAMPLE_LANG_K,
+        weighted_sample_per_lang,
+    )
+
+    df = weighted_sample_per_lang(SF).to_pandas()
+    langs = con.execute(
+        "SELECT DISTINCT lang FROM documents").df()["lang"]
+    assert set(df["lang"].unique()) == set(langs)
+    assert (df.groupby("lang").size() <= WSAMPLE_LANG_K).all()
