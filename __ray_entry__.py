@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": relational.top_orders,
         "segment_order_stats": relational.segment_order_stats,
         "events_hourly": relational.events_hourly,
+        # calendar-month rollup (date_trunc parity, not epoch division)
+        "orders_monthly": relational.orders_monthly,
         "event_value_quantiles": relational.event_value_quantiles,
         # Q6-flavor: every predicate pushed into the read, no exchange
         "q6_forecast_revenue": relational.q6_forecast_revenue,
@@ -369,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": windows.latest_event_per_user,
         "user_running_total": windows.user_running_total,
         "late_events": windows.late_events,
+        # watermark-filtered windowing: hourly rollup, late data dropped
+        "ontime_hourly": windows.ontime_hourly,
         "event_sequences": windows.event_sequences,
         # per-user inter-arrival gap stats (lag() as a distributed op)
         "event_gaps": windows.event_gaps,
@@ -557,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": relational.TOP_ORDERS_SQL,
         "segment_order_stats": relational.SEGMENT_ORDER_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "orders_monthly": relational.ORDERS_MONTHLY_SQL,
         "event_value_quantiles": relational.EVENT_QUANTILES_SQL,
         "q6_forecast_revenue": relational.Q6_FORECAST_SQL,
         "event_value_histogram": relational.EVENT_VALUE_HISTOGRAM_SQL,
@@ -587,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": windows.LATEST_EVENT_SQL,
         "user_running_total": windows.RUNNING_TOTAL_SQL,
         "late_events": windows.LATE_EVENTS_SQL,
+        "ontime_hourly": windows.ONTIME_HOURLY_SQL,
         "event_sequences": windows.EVENT_SEQUENCES_SQL,
         "event_gaps": windows.EVENT_GAPS_SQL,
         "next_event_label": windows.NEXT_EVENT_LABEL_SQL,

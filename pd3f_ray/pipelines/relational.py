@@ -1301,3 +1301,53 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}'
   AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
   AND l_quantity < {Q6_QTY_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# calendar-month rollup (date_trunc parity, not epoch arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def orders_monthly(sf_dir: str):
+    """Orders per calendar month — time-series rollup where the window
+    key is CALENDAR logic (month boundaries are irregular), not epoch
+    division: the month key is computed vectorized from Arrow's
+    year/month kernels (identical to DuckDB ``date_trunc('month')``)
+    and encoded as year*100+month so the exchange key is a plain int64.
+    Map-side partials as usual. Output
+    (month_key, n_orders, sum_total_cents)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch.column("o_orderdate"))
+        m = pc.month(batch.column("o_orderdate"))
+        key = pc.add(pc.multiply(pc.cast(y, pa.int64()),
+                                 pa.scalar(100, pa.int64())),
+                     pc.cast(m, pa.int64()))
+        t = pa.table({
+            "month_key": key,
+            "cents": _cents(batch.column("o_totalprice")),
+        })
+        g = t.group_by("month_key").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["month_key", "n_orders",
+                                 "sum_total_cents"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month_key")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("sum_total_cents", alias_name="sum_total_cents"))
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+           AS month_key,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_total_cents
+FROM orders
+GROUP BY month_key
+"""

@@ -843,3 +843,78 @@ WITH exploded AS (
 SELECT window_id, CAST(count(*) AS BIGINT) AS n_users
 FROM exploded GROUP BY window_id
 """
+
+
+# ---------------------------------------------------------------------------
+# watermark-filtered windowing: hourly rollup over ON-TIME events only
+# ---------------------------------------------------------------------------
+
+
+def ontime_hourly(sf_dir: str):
+    """Watermark semantics composed with windowing — the streaming-SQL
+    behavior 'drop late data, aggregate the rest': events flagged LATE
+    by the per-user watermark scan of :func:`late_events` are excluded,
+    the survivors roll up per tumbling hour. ONE user-bucket exchange
+    does the lateness classification AND the in-group hourly partials;
+    the second (tiny) exchange sums per window. Output
+    (window_id, n_events, sum_value_cents)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def arrival(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        key = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return batch.append_column("arrival", pa.array(key, pa.string()))
+
+    def ontime_partial(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["bucket"]).sort_values(
+            ["user_id", "arrival", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        prev = np.roll(pd.Series(ts).groupby(uid, sort=False)
+                       .cummax().to_numpy(np.int64), 1)
+        first = np.empty(len(g), dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        ontime = first | (ts >= prev)
+        v = g["value"].to_numpy()[ontime] * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        win = ts[ontime] // 3_600_000_000
+        out = pd.DataFrame({"window_id": win, "cents": cents})
+        part = (out.groupby("window_id", as_index=False)
+                .agg(n_events=("cents", "size"),
+                     sum_value_cents=("cents", "sum")))
+        part["n_events"] = part["n_events"].astype(np.int64)
+        return part
+
+    partials = _bucketed(
+        ds.map_batches(arrival, batch_format="pyarrow")
+    ).map_groups(ontime_partial, batch_format="pandas")
+
+    return (
+        partials.groupby("window_id")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_cents", alias_name="sum_value_cents"))
+    )
+
+
+ONTIME_HOURLY_SQL = """
+WITH marked AS (
+  SELECT ts, value,
+         max(ts) OVER (PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+  FROM events
+)
+SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM marked
+WHERE prev_max IS NULL OR ts >= prev_max
+GROUP BY window_id
+"""

@@ -1892,3 +1892,30 @@ def test_weighted_sample_per_lang_covers_all_langs(ray_session, con):
         "SELECT DISTINCT lang FROM documents").df()["lang"]
     assert set(df["lang"].unique()) == set(langs)
     assert (df.groupby("lang").size() <= WSAMPLE_LANG_K).all()
+
+
+def test_ontime_hourly_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import ONTIME_HOURLY_SQL, ontime_hourly
+
+    _match(ontime_hourly(SF), ONTIME_HOURLY_SQL, con)
+
+
+def test_ontime_hourly_excludes_exactly_the_late(ray_session, con):
+    """on-time + late must partition the stream: total on-time events
+    == total events − late events (per the same watermark rule)."""
+    from pd3f_ray.pipelines.windows import late_events, ontime_hourly
+
+    on = ontime_hourly(SF).to_pandas()
+    n_late = len(late_events(SF).to_pandas())
+    n_total = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert int(on["n_events"].sum()) == n_total - n_late
+    assert n_late > 0  # the permutation must actually create late rows
+
+
+def test_orders_monthly_oracle(ray_session, con):
+    from pd3f_ray.pipelines.relational import (
+        ORDERS_MONTHLY_SQL,
+        orders_monthly,
+    )
+
+    _match(orders_monthly(SF), ORDERS_MONTHLY_SQL, con)
