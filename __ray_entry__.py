@@ -482,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": webcurate.line_dedup_docs,
         "pack_sequences": webcurate.pack_sequences,  # greedy → rows-only
         "balanced_mixture": webcurate.balanced_mixture,
+        # largest-remainder crawl-budget apportionment (sums exactly)
+        "crawl_budget_allocation": webcurate.crawl_budget_allocation,
         "shuffle_assignment": webcurate.shuffle_assignment,
         "source_cap_sample": webcurate.source_cap_sample,
         "nfc_normalize_docs": webcurate.nfc_normalize_docs,
@@ -644,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_roundtrip": webcurate.PII_ROUNDTRIP_SQL,
         "line_dedup_docs": webcurate.LINE_DEDUP_SQL,
         "balanced_mixture": webcurate.BALANCED_MIXTURE_SQL,
+        "crawl_budget_allocation": webcurate.CRAWL_BUDGET_SQL,
         "shuffle_assignment": webcurate.SHUFFLE_ASSIGNMENT_SQL,
         "source_cap_sample": webcurate.SOURCE_CAP_SQL,
         "nfc_normalize_docs": webcurate.NFC_NORMALIZE_SQL,

@@ -1068,3 +1068,79 @@ SELECT doc_id,
             AS BIGINT) AS n_stripped
 FROM dirty
 """
+
+
+# ---------------------------------------------------------------------------
+# crawl-budget apportionment (largest-remainder method, exact integers)
+# ---------------------------------------------------------------------------
+
+CRAWL_BUDGET = 10_000
+
+
+def crawl_budget_allocation(sf_dir: str, budget: int = CRAWL_BUDGET):
+    """Proportional crawl-budget apportionment — split a global fetch
+    budget across sources proportionally to their document counts such
+    that the allocations are integers and sum EXACTLY to the budget
+    (Hamilton's largest-remainder method: floor quotas first, the
+    leftover seats go to the largest remainders, host-name tiebreak).
+    The count rollup is the usual partial-agg exchange; the
+    apportionment itself runs in one task over the DIMENSION-scale
+    count table. Output (source, n_docs, budget)."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["source"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([("source", "count")])
+        return g.rename_columns(["source", "n_docs"])
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def apportion(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        n = batch.column("n_docs").to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        base = (budget * n) // total
+        rem = (budget * n) % total
+        extra = budget - int(base.sum())
+        # largest remainders win the leftover units; host asc tiebreak
+        order = sorted(range(len(src)), key=lambda i: (-rem[i], src[i]))
+        alloc = base.astype(np.int64)
+        for i in order[:extra]:
+            alloc[i] += 1
+        return pa.table({
+            "source": pa.array(src, pa.string()),
+            "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+            "budget": pa.array(alloc, pa.int64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        apportion, batch_format="pyarrow", batch_size=None)
+
+
+def crawl_budget_sql(budget: int = CRAWL_BUDGET) -> str:
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_docs,
+         ({budget} * n_docs) // (SELECT sum(n_docs) FROM counts) AS base,
+         ({budget} * n_docs) % (SELECT sum(n_docs) FROM counts) AS rem
+  FROM counts
+)
+SELECT source, n_docs,
+       CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC,
+                                                source ASC)
+                        <= {budget} - (SELECT sum(base) FROM q)
+                        THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM q
+"""
+
+
+CRAWL_BUDGET_SQL = crawl_budget_sql()

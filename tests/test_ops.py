@@ -1919,3 +1919,26 @@ def test_orders_monthly_oracle(ray_session, con):
     )
 
     _match(orders_monthly(SF), ORDERS_MONTHLY_SQL, con)
+
+
+def test_crawl_budget_allocation_oracle(ray_session, con):
+    from pd3f_ray.pipelines.webcurate import (
+        CRAWL_BUDGET_SQL,
+        crawl_budget_allocation,
+    )
+
+    _match(crawl_budget_allocation(SF), CRAWL_BUDGET_SQL, con)
+
+
+def test_crawl_budget_sums_exactly_and_is_proportional(ray_session):
+    from pd3f_ray.pipelines.webcurate import (
+        CRAWL_BUDGET,
+        crawl_budget_allocation,
+    )
+
+    df = crawl_budget_allocation(SF).to_pandas()
+    assert int(df["budget"].sum()) == CRAWL_BUDGET
+    # largest-remainder stays within 1 unit of the exact quota
+    total = df["n_docs"].sum()
+    quota = CRAWL_BUDGET * df["n_docs"] / total
+    assert ((df["budget"] - quota).abs() < 1.0).all()
