@@ -1942,3 +1942,49 @@ def test_crawl_budget_sums_exactly_and_is_proportional(ray_session):
     total = df["n_docs"].sum()
     quota = CRAWL_BUDGET * df["n_docs"] / total
     assert ((df["budget"] - quota).abs() < 1.0).all()
+
+
+def test_fuzzy_name_pairs_across_band_edge(ray_session, tmp_path):
+    """The part-name fixture's lengths (7–12) all land in one length
+    band, so the ghost-replication path is never exercised by the
+    oracle — pin it directly: names of length 15/16/17 (bands 1 and 2
+    at NAME_BAND_W=8) within distance <= 2 must still pair exactly
+    once, and a cross-band pair beyond the length bound must not."""
+    import duckdb as _duck
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.dedup import fuzzy_name_pairs
+
+    names = [
+        "aaaaaaaaaaaaaaa",    # 15 chars — band 1, ghost into... no: top of band 1
+        "aaaaaaaaaaaaaaaa",   # 16 — band 2, %8==0 → ghost into band 1
+        "aaaaaaaaaaaaaaaab",  # 17 — band 2, %8==1 → ghost into band 1
+        "zzzzzzzzzzzzzzzzzzz",  # 19 — band 2, no ghost, far from all
+    ]
+    d = tmp_path / "bandedge"
+    d.mkdir()
+    pq.write_table(pa.table({"p_name": pa.array(names, pa.string())}),
+                   str(d / "part.parquet"))
+    got = fuzzy_name_pairs(str(d)).to_pandas()
+    got = got.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+    con = _duck.connect()
+    want = con.execute(f"""
+        WITH names AS (SELECT DISTINCT p_name
+                       FROM read_parquet('{d / "part.parquet"}'))
+        SELECT least(a.p_name, b.p_name) AS name_a,
+               greatest(a.p_name, b.p_name) AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM names a JOIN names b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY name_a, name_b
+    """).df()
+    # the 15↔16, 15↔17 pairs cross the band edge (found via ghosts);
+    # 16↔17 is in-band; the 19-char name pairs with nothing
+    assert len(want) == 3
+    import pandas as pd
+
+    want = want.astype(got.dtypes.to_dict(), errors="ignore")
+    pd.testing.assert_frame_equal(got, want)
+    # every pair emitted exactly once (no ghost double-counting)
+    assert not got.duplicated(["name_a", "name_b"]).any()
