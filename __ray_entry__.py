@@ -419,6 +419,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "lang_quality": textstats.lang_quality,
         "lang_id": textstats.lang_id,
+        # classifier evaluation: confusion matrix vs the labeled lang
+        "lang_confusion_matrix": textstats.lang_confusion_matrix,
         "sample_docs": textstats.sample_docs,
         "stratified_sample": textstats.stratified_sample,
         # Efraimidis–Spirakis weighted sample w/o replacement (A-ES)
@@ -622,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": textstats.DOC_FINGERPRINT_SQL,
         "lang_quality": textstats.LANG_QUALITY_SQL,
         "lang_id": textstats.LANG_ID_SQL,
+        "lang_confusion_matrix": textstats.LANG_CONFUSION_SQL,
         "sample_docs": textstats.SAMPLE_DOCS_SQL,
         "stratified_sample": textstats.stratified_sample_sql(),
         "weighted_sample": textstats.WEIGHTED_SAMPLE_SQL,

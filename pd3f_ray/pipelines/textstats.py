@@ -714,3 +714,69 @@ QUALIFY row_number() OVER (PARTITION BY lang
 
 
 WEIGHTED_SAMPLE_PER_LANG_SQL = weighted_sample_per_lang_sql()
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def lang_confusion_matrix(sf_dir: str):
+    """Classifier evaluation as a pipeline op — the confusion matrix of
+    the heuristic language identifier against the labeled ``lang``
+    column: one row per (true lang, predicted lang) with its count.
+    The per-doc prediction is the same marker-count argmax as
+    :func:`lang_id`; counts fold map-side per (label, pred) so the one
+    exchange carries ≤ |langs|² partials per block. Output
+    (lang, pred_lang, n)."""
+    ds = _docs(sf_dir, ["text", "lang"])
+    langs = sorted(LANG_MARKERS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        labels = batch.column("lang").to_pylist()
+        preds = []
+        for t in texts:
+            toks = t.split(" ")
+            counts = {l: sum(1 for w in toks if w in LANG_MARKERS[l])
+                      for l in langs}
+            best = max(counts.values())
+            preds.append("none" if best == 0
+                         else min(l for l in langs if counts[l] == best))
+        t = pa.table({
+            "lang": pa.array(labels, pa.string()),
+            "pred_lang": pa.array(preds, pa.string()),
+        })
+        g = t.group_by(["lang", "pred_lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "pred_lang", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH h AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_marker_list('de')}))) AS hits_de,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_marker_list('en')}))) AS hits_en,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_marker_list('es')}))) AS hits_es,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ({_marker_list('fr')}))) AS hits_fr
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'none'
+            WHEN hits_de >= greatest(hits_en, hits_es, hits_fr) THEN 'de'
+            WHEN hits_en >= greatest(hits_es, hits_fr) THEN 'en'
+            WHEN hits_es >= hits_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM h
+GROUP BY lang, pred_lang
+"""

@@ -1988,3 +1988,28 @@ def test_fuzzy_name_pairs_across_band_edge(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     # every pair emitted exactly once (no ghost double-counting)
     assert not got.duplicated(["name_a", "name_b"]).any()
+
+
+def test_lang_confusion_matrix_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import (
+        LANG_CONFUSION_SQL,
+        lang_confusion_matrix,
+    )
+
+    _match(lang_confusion_matrix(SF), LANG_CONFUSION_SQL, con)
+
+
+def test_lang_confusion_matrix_covers_corpus(ray_session, con):
+    from pd3f_ray.pipelines.textstats import lang_confusion_matrix
+
+    df = lang_confusion_matrix(SF).to_pandas()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert int(df["n"].sum()) == n_docs
+    # the synthetic corpus text is English-ish token soup whatever its
+    # lang LABEL says — so the matrix exposes exactly that: every
+    # labeled language row exists, and predictions concentrate on
+    # {'en', 'none'} (the matrix's job is to reveal the mismatch)
+    assert set(df["lang"].unique()) == {"de", "en", "es", "fr", "zh"}
+    assert set(df["pred_lang"].unique()) <= {"en", "none"}
+    en_mass = df[df["pred_lang"] == "en"]["n"].sum()
+    assert en_mass > df["n"].sum() / 2
