@@ -666,7 +666,8 @@ CC_MAX_ITERS = 8
 CC_LOCAL_MAX_EDGES = 4_000_000  # ~64 MB of (node, peer) int64 pairs
 
 
-def _cc_local(edges_mat):
+def _cc_local(edges_mat, out_cols: tuple = ("doc_id", "cluster_id"),
+              key_type: "pa.DataType | None" = None):
     """Exact connected components in ONE ray task — the AQE-style fast
     path when the (pair-scale) edge table fits a worker (metadata row
     count ≤ CC_LOCAL_MAX_EDGES, the same planner shape as
@@ -676,20 +677,26 @@ def _cc_local(edges_mat):
     edge arrays + full pointer compression per round) reaches the exact
     fixpoint in O(log n) rounds regardless of component diameter — the
     case that forces the distributed loop through its worst-case round
-    count (long chains) costs microseconds here."""
+    count (long chains) costs microseconds here.
+
+    Works for int64 OR string node keys: labels are np.unique indices
+    (unique sorts ascending, so the min index IS the min key — for
+    strings, the lexicographically smallest member)."""
     import ray
+
+    kt = key_type if key_type is not None else pa.int64()
 
     @ray.remote
     def _uf(*tables):
         tables = [t for t in tables if t.num_rows]  # skip empty-schema blocks
         tbl = (pa.concat_tables(tables) if tables
-               else pa.table({"node": pa.array([], pa.int64()),
-                              "peer": pa.array([], pa.int64())}))
+               else pa.table({"node": pa.array([], kt),
+                              "peer": pa.array([], kt)}))
         node = tbl.column("node").to_numpy(zero_copy_only=False)
         peer = tbl.column("peer").to_numpy(zero_copy_only=False)
         if len(node) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "cluster_id": pa.array([], pa.int64())})
+            return pa.table({out_cols[0]: pa.array([], kt),
+                             out_cols[1]: pa.array([], kt)})
         uniq, inv = np.unique(np.concatenate([node, peer]),
                               return_inverse=True)
         a, b = inv[: len(node)], inv[len(node):]
@@ -705,19 +712,23 @@ def _cc_local(edges_mat):
                 lab = nl
             if np.array_equal(lab, prev):
                 break
-        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
-                         "cluster_id": pa.array(uniq[lab], pa.int64())})
+        return pa.table({out_cols[0]: pa.array(uniq.tolist(), kt),
+                         out_cols[1]: pa.array(uniq[lab].tolist(), kt)})
 
     return rd.from_arrow_refs(
         [_uf.remote(*edges_mat.to_arrow_refs())])
 
 
 def _mat_label_sum(labels_mat) -> int:
-    """Total label sum of a MATERIALIZED label table WITHOUT launching a
-    new Dataset execution: one tiny zero-cpu ray task per existing block
-    sums its label column; the driver receives one int per block. The
-    previous ``Dataset.sum("label")`` convergence probe paid the 2–4 s
-    fixed execution/aggregate barrier per round on KB of data."""
+    """Convergence fingerprint of a MATERIALIZED label table WITHOUT
+    launching a new Dataset execution: one tiny zero-cpu ray task per
+    existing block folds its label column; the driver receives one int
+    per block. The previous ``Dataset.sum("label")`` convergence probe
+    paid the 2–4 s fixed execution/aggregate barrier per round on KB of
+    data. Integer labels fold to their exact sum (strictly decreasing
+    until the fixpoint); string labels fold to a sum of fixed-key
+    64-bit siphashes (``pd.util.hash_array`` — deterministic across
+    processes), which changes whenever any label changes."""
     import ray
 
     @ray.remote(num_cpus=0)
@@ -726,8 +737,12 @@ def _mat_label_sum(labels_mat) -> int:
 
         if tbl.num_rows == 0:  # trailing empty block has an empty schema
             return 0
-        s = pc.sum(tbl.column("label")).as_py()
-        return int(s) if s is not None else 0
+        col = tbl.column("label")
+        if pa.types.is_integer(col.type):
+            s = pc.sum(col).as_py()
+            return int(s) if s is not None else 0
+        h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+        return int(h.sum(dtype=np.uint64))
 
     return sum(ray.get([_block_sum.remote(ref)
                         for ref in labels_mat.to_arrow_refs()]))
@@ -767,10 +782,6 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
 
     Output (doc_id, cluster_id = min doc_id reachable), oracle-checked
     against a recursive-SQL reachability query (both plans)."""
-    import warnings
-
-    from pd3f_ray.pipelines.joins import hash_join
-
     pairs = jaccard_pairs(sf_dir, threshold)
 
     def symmetrize(batch: pa.Table) -> pa.Table:
@@ -794,6 +805,34 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
     if edges.count() <= local_max_edges:  # metadata count: materialized
         return _cc_local(edges)
 
+    labels = _cc_propagate(edges, key_type=pa.int64(),
+                           label_blocks=label_blocks, max_iters=max_iters,
+                           opname="dedup_clusters")
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def _cc_propagate(edges, *, key_type, label_blocks: int = 4,
+                  max_iters: int = CC_MAX_ITERS,
+                  opname: str = "dedup_clusters"):
+    """The distributed min-label-propagation plan shared by
+    :func:`dedup_clusters` (int64 doc ids) and
+    :func:`name_entity_clusters` (string names — ``hash_join`` buckets
+    strings via the siphash path, Min on Arrow strings is the
+    lexicographic min). ``edges`` must be a MATERIALIZED symmetric
+    (node, peer) table of ``key_type`` keys. Each round folds TWO label
+    moves into ONE bucketed join exchange by unioning the probe tables
+    first: neighbor propagation (node ← label(peer)) and the pointer
+    jump (node ← label(label), the classic doubling step), so rounds
+    needed ≈ log2(diameter)+1. Convergence is probed by per-block ray
+    tasks over the materialized label table (``_mat_label_sum``) — no
+    extra Dataset execution. Returns the (node, label) fixpoint."""
+    import warnings
+
+    from pd3f_ray.pipelines.joins import hash_join
+
     def _arrow(b: pa.Table) -> pa.Table:
         return b  # identity pass: coerces aggregate output blocks to Arrow
 
@@ -807,8 +846,8 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
     )
     prev_sum = _mat_label_sum(labels)
 
-    probe_schema = pa.schema([("node", pa.int64()), ("pkey", pa.int64())])
-    lab_schema = pa.schema([("lnode", pa.int64()), ("label", pa.int64())])
+    probe_schema = pa.schema([("node", key_type), ("pkey", key_type)])
+    lab_schema = pa.schema([("lnode", key_type), ("label", key_type)])
 
     def hop_probe(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column("node"), "pkey": b.column("peer")})
@@ -847,17 +886,14 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
 
     if not converged:
         warnings.warn(
-            f"dedup_clusters: label propagation did not reach its fixpoint "
+            f"{opname}: label propagation did not reach its fixpoint "
             f"within {max_iters} doubling rounds (covers diameter ≤ "
             f"2^{max_iters}); cluster_ids may be split across components — "
             f"raise max_iters",
             RuntimeWarning,
         )
 
-    return labels.map_batches(
-        lambda b: b.rename_columns(["doc_id", "cluster_id"]),
-        batch_format="pyarrow",
-    )
+    return labels
 
 
 def dedup_clusters_sql(threshold: float = JACCARD_THRESHOLD) -> str:
@@ -1185,6 +1221,14 @@ def fuzzy_name_pairs(sf_dir: str, max_dist: int = EDIT_MAX):
 
     Output (name_a, name_b, dist), names ordered lexicographically;
     oracle = DuckDB ``levenshtein`` over the distinct-name self-join."""
+    # one-band-down ghost replication is complete only while the length
+    # gap a qualifying pair can span stays within one band — loudly
+    # refuse a max_dist the plan would silently under-report for
+    if max_dist > NAME_BAND_W:
+        raise ValueError(
+            f"fuzzy_name_pairs: max_dist={max_dist} exceeds the shuffle "
+            f"band width NAME_BAND_W={NAME_BAND_W}; pairs spanning two "
+            f"bands would be missed — raise NAME_BAND_W or lower max_dist")
     parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
                             columns=["p_name"])
 
@@ -1261,20 +1305,28 @@ WHERE levenshtein(a.p_name, b.p_name) <= {EDIT_MAX}
 # ---------------------------------------------------------------------------
 
 
-def name_entity_clusters(sf_dir: str, max_dist: int = EDIT_MAX):
+def name_entity_clusters(sf_dir: str, max_dist: int = EDIT_MAX,
+                         local_max_edges: int = CC_LOCAL_MAX_EDGES):
     """Fuzzy entity resolution END-TO-END: the :func:`fuzzy_name_pairs`
     edge list is closed into connected components and every distinct
     name is mapped to its component's canonical representative (the
     lexicographically smallest member) — the master-data table that
     turns 'red bolt'/'old bolt' variants into one entity key.
 
-    The union-find runs in ONE task over the VOCABULARY-scale tables
-    (names + fuzzy edges, both bounded by the name domain — the same
-    justification as fuzzy_name_pairs; for vocabularies beyond a
-    worker's heap the distributed min-label propagation of
-    ``dedup_clusters`` is the scale path and this op's plan would swap
-    in its exchange). Output (name, canonical); oracle = recursive-CTE
-    reachability + min() over the same Levenshtein edges."""
+    Same two-plan AQE gate as ``dedup_clusters``, on the materialized
+    edge count:
+
+    - **local** (edges ≤ ``local_max_edges``): exact union-find in one
+      ray task (``_cc_local`` — np.unique sorts names, so the min label
+      index IS the lexicographic min). Edges are vocabulary-scale
+      (distinct names + fuzzy pairs), so this is the usual path.
+    - **distributed**: the shared min-label propagation
+      (``_cc_propagate``) over STRING node keys — ``hash_join`` buckets
+      strings via the fixed-key siphash path, Min on Arrow strings is
+      the lexicographic min.
+
+    Output (name, canonical); oracle = recursive-CTE reachability +
+    min() over the same Levenshtein edges (both plans byte-equal)."""
     pairs = fuzzy_name_pairs(sf_dir, max_dist=max_dist)
 
     parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
@@ -1295,41 +1347,36 @@ def name_entity_clusters(sf_dir: str, max_dist: int = EDIT_MAX):
             batch_format="pyarrow")
     )
 
-    def close(batch: pa.Table) -> pa.Table:
+    def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch.column("name_a").to_pylist()
         b = batch.column("name_b").to_pylist()
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for x, y in zip(a, b):
-            parent.setdefault(x, x)
-            parent.setdefault(y, y)
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                # union by the smaller name so the root IS the canonical
-                lo, hi = sorted((rx, ry))
-                parent[hi] = lo
-        names = sorted(parent)
         return pa.table({
-            "name": pa.array(names, pa.string()),
-            "canonical": pa.array([find(n) for n in names], pa.string()),
+            "node": pa.array(a + b, pa.string()),
+            "peer": pa.array(b + a, pa.string()),
         })
 
     # pairs blocks are pandas (map_groups output); singles are arrow —
     # normalize before union, repartition's block builder refuses a mix
     pairs_arrow = pairs.map_batches(lambda b: b, batch_format="pyarrow")
 
-    return (
+    label_blocks = 4
+    edges = (
         pairs_arrow.union(singles)
-        .repartition(1)
-        .map_batches(close, batch_format="pyarrow", batch_size=None)
+        .map_batches(symmetrize, batch_format="pyarrow")
+        .repartition(label_blocks)
+        .materialize()
+    )
+
+    if edges.count() <= local_max_edges:  # metadata count: materialized
+        return _cc_local(edges, out_cols=("name", "canonical"),
+                         key_type=pa.string())
+
+    labels = _cc_propagate(edges, key_type=pa.string(),
+                           label_blocks=label_blocks,
+                           opname="name_entity_clusters")
+    return labels.map_batches(
+        lambda b: b.rename_columns(["name", "canonical"]),
+        batch_format="pyarrow",
     )
 
 

@@ -41,15 +41,21 @@ def _pq(sf_dir: str, table: str, columns):
 
 
 def _stable_bucket(arr: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic cross-process bucket for int64 keys — a vectorized
-    splitmix64-style integer mix (NOT Python hash(), which is salted
-    per process). One multiply/shift chain over the whole array."""
-    x = arr.astype(np.uint64, copy=True)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
+    """Deterministic cross-process bucket for join keys. Int64 keys get
+    a vectorized splitmix64-style integer mix (NOT Python hash(), which
+    is salted per process) — one multiply/shift chain over the whole
+    array. String/object keys hash via ``pd.util.hash_array`` (a fixed-
+    key 64-bit siphash: vectorized AND stable across processes), which
+    is already well-mixed, so it feeds the modulo directly."""
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        x = pd.util.hash_array(arr)
+    else:
+        x = arr.astype(np.uint64, copy=True)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
     return (x % np.uint64(num_buckets)).astype(np.int32)
 
 
@@ -587,11 +593,21 @@ def click_purchase_matrix(sf_dir: str, num_buckets: int = 32):
     schema_l = pa.schema([("user_id", pa.int64()), ("n_clicks", pa.int64())])
     schema_r = pa.schema([("user_id", pa.int64()),
                           ("n_purchases", pa.int64())])
-    return full_outer_join(
+    joined = full_outer_join(
         side("click", 2, "n_clicks"), side("purchase", 3, "n_purchases"),
         "user_id", num_buckets=num_buckets,
         left_schema=schema_l, right_schema=schema_r,
     )
+
+    # The nullable count columns must ship in the ORACLE-STABLE dtype:
+    # DuckDB's .df() renders a nullable BIGINT as float64 with NaN, while
+    # the join's pandas blocks carry pandas-nullable Int64 — value-equal
+    # but hash-DIFFERENT once serialized (r03 driver: rows/schema match,
+    # hash mismatch). Cast to float64/NaN so both sides serialize alike.
+    def to_oracle_dtype(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"n_clicks": "float64", "n_purchases": "float64"})
+
+    return joined.map_batches(to_oracle_dtype, batch_format="pandas")
 
 
 CLICK_PURCHASE_MATRIX_SQL = """
@@ -886,9 +902,14 @@ def nation_revenue_share(sf_dir: str):
     rev = nation_revenue(sf_dir)
 
     def share(batch: pa.Table) -> pa.Table:
-        cents = batch.column("revenue_cents").to_numpy(zero_copy_only=False)
-        total = int(cents.sum())
-        ppm = (cents.astype(np.int64) * 1_000_000) // total
+        cents = batch.column("revenue_cents").to_pylist()
+        total = sum(cents)
+        # Python-int arithmetic: numpy int64 would wrap silently once a
+        # nation's revenue exceeds ~9.2e12 cents (TPC-H sf≈5-10), while
+        # the DuckDB oracle promotes to HUGEINT — the share column is
+        # ≤ |nations| values, so unvectorized bignum math is free here
+        ppm = np.asarray([c * 1_000_000 // total for c in cents],
+                         dtype=np.int64)
         return pa.table({
             "n_name": batch.column("n_name"),
             "revenue_cents": batch.column("revenue_cents"),

@@ -970,7 +970,10 @@ def props_k_stats(sf_dir: str):
     per-type stats BEFORE the (tiny) exchange. Malformed/missing JSON
     must not poison the pipeline: such rows count into ``n_bad`` and
     are excluded from the stats (the dead-letter discipline of the
-    extraction kernel, applied to a field). Output
+    extraction kernel, applied to a field). The SQL oracle is only
+    defined for int-or-missing ``k`` — a string/float/bool ``k`` is
+    dead-lettered here but would raise (or bucket differently) in
+    DuckDB's json_extract cast. Output
     (event_type, n, n_bad, sum_k, min_k, max_k)."""
     from ray.data.aggregate import Sum as _Sum
 
@@ -990,7 +993,10 @@ def props_k_stats(sf_dir: str):
             a = agg.setdefault(t, [0, 0, 0, None, None])
             try:
                 k = _json.loads(p)["k"]
-                if not isinstance(k, int):
+                # bool is a subclass of int — JSON true/false must NOT
+                # count as k=1/0 (the SQL oracle is only defined for
+                # int-or-missing k; non-int k dead-letters into n_bad)
+                if not isinstance(k, int) or isinstance(k, bool):
                     raise TypeError
             except Exception:
                 a[1] += 1
@@ -1100,7 +1106,8 @@ def events_cube(sf_dir: str):
     plan shape: map-side 4-way explode with sentinels ('ALL' / -1) +
     per-batch pre-aggregation, ONE exchange carrying ≤ 4 partial rows
     per (block, group). Output (event_type, hour, n_events,
-    sum_value_cents)."""
+    sum_value_cents). Precondition: ts ≥ epoch 0 (floor division here
+    vs DuckDB's truncate-toward-zero ``//`` — see hourly_unique_users)."""
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["event_type", "ts", "value"])
 

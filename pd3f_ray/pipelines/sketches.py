@@ -451,7 +451,12 @@ def hourly_unique_users(sf_dir: str):
     2. a second map-side collapse counts users per (window, block) and
        a tiny ``groupby(window)`` sums counts and re-sums (n, cents).
 
-    Output (window_id, n_events, n_users, sum_value_cents)."""
+    Output (window_id, n_events, n_users, sum_value_cents).
+
+    Precondition: ts ≥ epoch 0 — window_id uses Python/numpy FLOOR
+    division, while the DuckDB oracle's ``//`` truncates toward zero
+    (-7//3 = -3 here vs -2 there), so pre-1970 timestamps would bucket
+    differently between engine and oracle."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 

@@ -110,12 +110,16 @@ def domain_stats(sf_dir: str):
 DOMAIN_STATS_SQL = """
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS sum_chars,
-       SUM(array_length(string_split(text, ' '))) AS sum_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(array_length(string_split(text, ' '))) AS BIGINT)
+           AS sum_tokens,
        COUNT(DISTINCT lang) AS n_langs
 FROM documents
 GROUP BY source
 """
+# DuckDB sum(BIGINT) yields HUGEINT, which .df() renders float64 — the
+# CASTs keep the oracle's serialized dtype int64 like the engine's
+# (the driver hashes serialized values, so dtype IS part of correctness)
 
 
 # ---------------------------------------------------------------------------
@@ -616,45 +620,99 @@ BALANCED_MIXTURE_SQL = balanced_mixture_sql()
 SHUF_SHARDS = 16
 
 
-def shuffle_assignment(sf_dir: str, num_shards: int = SHUF_SHARDS):
+SHUF_BAND_CHARS = 2  # digest-prefix band width: 16**2 = 256 bands
+
+
+def shuffle_assignment(sf_dir: str, num_shards: int = SHUF_SHARDS,
+                       band_chars: int = SHUF_BAND_CHARS):
     """Deterministic global shuffle for training ingest: each document
     is assigned a shard (md5-hash partition — decorrelated from
     doc_id/source order) and a position within the shard (rank by the
-    md5 hex digest, doc_id tiebreak). The standard scale trick: ONE
-    shard-bucketed exchange + an in-group sort of hash keys replaces a
-    full random_shuffle; readers then stream shards in position order
-    and see a reproducible pseudo-random document order. Output
-    (doc_id, shard, pos)."""
+    md5 hex digest, doc_id tiebreak). Shard count is semantically FIXED
+    by the training job (~10³ regardless of corpus size), so a
+    one-group-per-shard plan would grow linearly with the corpus;
+    instead this is the ``doc_length_rank`` two-pass range-partitioned
+    ranking applied to the digest keyspace:
+
+    1. band = the digest's first ``band_chars`` hex chars — a monotone
+       PREFIX of the in-shard sort key, so band order IS sort order
+       within every shard. Map-side partials count rows per
+       (shard, band); ONE tiny aggregate exchange, then a bounded
+       driver read (≤ num_shards × 16**band_chars rows) computes
+       per-shard prefix offsets over ascending bands.
+    2. rows shuffle ONCE by (shard, band); each group sorts its own
+       band and adds its offset. Group size is corpus / 16**band_chars
+       expected (md5 is uniform) — ``band_chars`` is the dial, shard
+       count never bounds a group.
+
+    Readers then stream shards in position order and see a reproducible
+    pseudo-random document order. Output (doc_id, shard, pos)."""
+    import ray
+
     from pd3f_ray.functions.textfns import md5_hex
 
     docs = _docs(sf_dir, ["doc_id", "text"])
+    n_bands = 16 ** band_chars
 
     def key(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         digests = [md5_hex(t) for t in batch.column("text").to_pylist()]
-        # shard = first hex digit of the digest (16 shards — the value
-        # a strpos() can recover in the SQL oracle without hex casts)
+        # shard = first hex digit of the digest (the value a strpos()
+        # can recover in the SQL oracle without hex casts)
         shards = np.asarray([int(d[0], 16) % num_shards for d in digests],
                             dtype=np.int64)
+        bands = np.asarray([int(d[:band_chars], 16) for d in digests],
+                           dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "shard": pa.array(shards, pa.int64()),
+            "sband": pa.array(shards * n_bands + bands, pa.int64()),
             "sortkey": pa.array(digests, pa.string()),
         })
 
+    keyed = docs.map_batches(key, batch_format="pyarrow")
+
+    # pass 1: per-(shard, band) count partials → tiny combiner exchange
+    # → bounded driver read → per-shard prefix offsets over bands
+    def count_partial(batch: pa.Table) -> pa.Table:
+        sb = batch.column("sband").to_numpy(zero_copy_only=False)
+        vals, counts = np.unique(sb, return_counts=True)
+        return pa.table({
+            "sband": pa.array(vals.astype(np.int64), pa.int64()),
+            "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    counts = (
+        keyed.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("sband")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .materialize()
+    )
+    per_band: dict[int, int] = {}
+    for blk in ray.get(counts.to_arrow_refs()):
+        if blk.num_rows == 0:  # trailing empty block has an empty schema
+            continue
+        per_band.update(zip(blk.column("sband").to_pylist(),
+                            blk.column("n").to_pylist()))
+    offsets: dict[int, int] = {}
+    acc_by_shard: dict[int, int] = {}
+    for sb in sorted(per_band):  # ascending band within each shard
+        shard = sb // n_bands
+        offsets[sb] = acc_by_shard.get(shard, 0)
+        acc_by_shard[shard] = offsets[sb] + per_band[sb]
+    off_ref = ray.put(offsets)
+
     def number(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
         g = group.sort_values(["sortkey", "doc_id"], kind="mergesort")
+        base = offs[int(g["sband"].iloc[0])]
         return pd.DataFrame({
             "doc_id": g["doc_id"].to_numpy(np.int64),
             "shard": g["shard"].to_numpy(np.int64),
-            "pos": np.arange(1, len(g) + 1, dtype=np.int64),
+            "pos": base + np.arange(1, len(g) + 1, dtype=np.int64),
         })
 
-    return (
-        docs.map_batches(key, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(number, batch_format="pandas")
-    )
+    return keyed.groupby("sband").map_groups(number, batch_format="pandas")
 
 
 def shuffle_assignment_sql(num_shards: int = SHUF_SHARDS) -> str:
@@ -963,8 +1021,8 @@ SELECT doc_id,
        CAST(sum(cnt) AS BIGINT) AS n_grams,
        CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT)
            AS dup_positions,
-       COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) * 1000000
-           // sum(cnt) AS dup_ppm
+       CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) * 1000000
+            // sum(cnt) AS BIGINT) AS dup_ppm
 FROM c
 GROUP BY doc_id
 """

@@ -793,7 +793,9 @@ def sliding_unique_users(sf_dir: str):
     user) pairs but DEDUPES them within the batch before anything
     ships; the first exchange then carries distinct pairs per block,
     the second counts per window over one-row-per-(pair) survivors.
-    Both exchanges are combiner-only. Output (window_id, n_users)."""
+    Both exchanges are combiner-only. Output (window_id, n_users).
+    Precondition: ts ≥ epoch 0 (floor division here vs DuckDB's
+    truncate-toward-zero ``//`` — see hourly_unique_users)."""
     from ray.data.aggregate import Count, Sum
 
     ds = _events(sf_dir, ["ts", "user_id"])
@@ -857,7 +859,9 @@ def ontime_hourly(sf_dir: str):
     the survivors roll up per tumbling hour. ONE user-bucket exchange
     does the lateness classification AND the in-group hourly partials;
     the second (tiny) exchange sums per window. Output
-    (window_id, n_events, sum_value_cents)."""
+    (window_id, n_events, sum_value_cents). Precondition: ts ≥ epoch 0
+    (floor division here vs DuckDB's truncate-toward-zero ``//`` — see
+    hourly_unique_users)."""
     import hashlib
 
     from ray.data.aggregate import Sum

@@ -19,10 +19,17 @@ closed-form SQL UNION ALL byte-per-row.
 from __future__ import annotations
 
 import os
-import shutil
+import tempfile
 
 import pyarrow as pa
 import ray.data as rd
+
+
+def _fresh_scratch(prefix: str) -> str:
+    """Per-invocation scratch dir (mkdtemp) — a fixed path keyed only
+    by sf_name let two concurrent invocations (parallel bench shards,
+    two sessions on one box) rmtree each other's files mid-read."""
+    return tempfile.mkdtemp(prefix=prefix)
 
 
 def align_to_schema(target: pa.Schema):
@@ -61,10 +68,9 @@ def schema_evolution_union(sf_dir: str):
     mixed-generation read at corpus scale. Streaming throughout; the
     fixture write is sharded ``write_parquet``, not a driver dump.
     Output (doc_id, lang, n_chars, source) with NULLs on v1 rows."""
-    from pd3f_ray.sources.corpus import sf_name
-
-    scratch = os.path.join("/tmp/pd3f_ray_evolve", sf_name(sf_dir))
-    shutil.rmtree(scratch, ignore_errors=True)
+    # unique per invocation: the returned Dataset reads these paths
+    # LAZILY, so the dir must outlive this call — /tmp reclaims it
+    scratch = _fresh_scratch("pd3f_ray_evolve_")
     v1_dir = os.path.join(scratch, "v1")
     v2_dir = os.path.join(scratch, "v2")
     os.makedirs(v1_dir)
@@ -120,11 +126,9 @@ def partitioned_write_roundtrip(sf_dir: str, lang: str = "en"):
     row-group predicate (no footers even read). Output
     (doc_id, n_chars) of the ``lang='en'`` partition; oracle = the
     WHERE-clause equivalent over the source table."""
-    from pd3f_ray.sources.corpus import sf_name
-
-    scratch = os.path.join("/tmp/pd3f_ray_partwrite", sf_name(sf_dir))
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(scratch)
+    # unique per invocation (see _fresh_scratch): read-back is lazy,
+    # so the dir must outlive this call — /tmp reclaims it
+    scratch = _fresh_scratch("pd3f_ray_partwrite_")
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),

@@ -84,14 +84,28 @@ def main(sf_dir: str) -> int:
             print(f"FAIL  {name}: rows {len(got)} != {len(want)}")
             failures += 1
             continue
-        # exact value equality after canonicalization
-        want = want.astype(got.dtypes.to_dict(), errors="ignore")
-        eq = got.equals(want)
+        # serialized-representation equality FIRST (the driver hashes the
+        # serialized values, so pandas Int64(5) != DuckDB float64 5.0 even
+        # when every value is equal — r03's click_purchase_matrix fail)
+        got_ser = got.to_csv(index=False)
+        want_ser = want.to_csv(index=False)
+        # exact value equality after dtype coercion (semantic check)
+        want_c = want.astype(got.dtypes.to_dict(), errors="ignore")
+        eq = got.equals(want_c)
         if not eq:
-            diff = (got != want).any(axis=1)
+            diff = (got != want_c).any(axis=1)
             print(f"FAIL  {name}: {int(diff.sum())} mismatched rows; first:")
-            print(pd.concat([got[diff].head(3), want[diff].head(3)],
+            print(pd.concat([got[diff].head(3), want_c[diff].head(3)],
                             keys=["ray", "sql"]))
+            failures += 1
+        elif got_ser != want_ser:
+            bad = next((c for c in got.columns
+                        if got[c].to_csv(index=False)
+                        != want[c].to_csv(index=False)), "?")
+            print(f"FAIL  {name}: values equal but serialized "
+                  f"representation differs (driver would hash-fail); "
+                  f"first differing column: {bad} "
+                  f"(ray dtype {got[bad].dtype} vs sql {want[bad].dtype})")
             failures += 1
         else:
             print(f"OK    {name}: {len(got)} rows match oracle exactly")

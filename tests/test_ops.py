@@ -1756,6 +1756,20 @@ def test_name_entity_clusters_canonical_is_member_min(ray_session):
     assert (by.str.len() > 1).any()
 
 
+def test_name_entity_clusters_gate_flip(ray_session, con):
+    """``local_max_edges=0`` forces the DISTRIBUTED string-key
+    min-label-propagation plan (the gate `name_entity_clusters` flips
+    to when the fuzzy edge list outgrows one worker); the oracle must
+    stay byte-equal to the default local union-find path."""
+    from pd3f_ray.pipelines.dedup import (
+        NAME_ENTITY_CLUSTERS_SQL,
+        name_entity_clusters,
+    )
+
+    _match(name_entity_clusters(SF, local_max_edges=0),
+           NAME_ENTITY_CLUSTERS_SQL, con)
+
+
 def test_events_cube_oracle(ray_session, con):
     from pd3f_ray.pipelines.relational import EVENTS_CUBE_SQL, events_cube
 

@@ -129,9 +129,10 @@ ALLOWED_MAP_GROUPS = {
     ("graph.py", '"nbucket"'):
         "node-hash bucket over per-(block, dst) partial contribution "
         "sums, not raw edges; bucket count is a dial",
-    ("webcurate.py", '"shard"'):
-        "training-shard assignment: group = one output shard (corpus / "
-        "num_shards rows), shard count is the caller's dial",
+    ("webcurate.py", '"sband"'):
+        "shuffle_assignment (shard, digest-prefix band) group — bounded "
+        "by corpus / 16**band_chars (md5-uniform), band_chars is a "
+        "dial; shard count never bounds a group (two-pass rank plan)",
     ("dedup.py", '"hbucket"'):
         "digest-hash bucket over (digest, doc_id) rows — text never "
         "shuffles, bucket count is a dial",

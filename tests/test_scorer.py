@@ -176,3 +176,39 @@ def test_flair_backend_without_flair_raises_not_implemented():
     assert "flair" not in sys.modules  # the real stack is absent here
     with pytest.raises(NotImplementedError):
         FlairScorerBackend("multi")
+
+
+# ---------------------------------------------------------------------------
+# opt-in REAL-weights integration (VERDICT r3 item 7): skipped unless the
+# flair/torch stack is importable — if the environment ever gains torch,
+# parity evidence is one `pip install` away with zero code changes.
+# ---------------------------------------------------------------------------
+
+
+def test_flair_real_weights_deterministic_across_actors(ray_session):
+    """With a real (tiny) char-LM loaded, ``single_score`` must be
+    deterministic for fixed weights AND identical across two separate
+    actor processes — the property the actor-pool hosting design relies
+    on (one weights load per actor, reference dehyphen_wrapper.py:18-31
+    singleton). Uses the smallest published fast model to keep the
+    download/load cost minimal."""
+    import pytest
+
+    pytest.importorskip("flair")
+    import ray
+
+    texts = ["The annual budget was approved.",
+             "hyphen- ated line join",
+             "zzzz qqqq junk"]
+
+    @ray.remote
+    def score_in_fresh_process(batch):
+        from pd3f_ray.core.scorer import FlairScorerBackend
+
+        backend = FlairScorerBackend("multi", fast=True)
+        return [backend.single_score(t) for t in batch]
+
+    a, b = ray.get([score_in_fresh_process.remote(texts),
+                    score_in_fresh_process.remote(texts)])
+    assert a == b  # bit-identical across two independent weight loads
+    assert all(s > 0 for s in a)
