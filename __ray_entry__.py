@@ -299,6 +299,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_matrix": joins.click_purchase_matrix,
         # rebuilt this round on the two-pass banded-rank plan
         "shuffle_assignment": webcurate.shuffle_assignment,
+        # --- new this round ---
+        # grouped TOP-K: map-side partial top-k per (block, user), one
+        # bucketed exchange, rank assignment in-group
+        "top_events_per_user": windows.top_events_per_user,
+        # Iceberg-style partition pruning statistics (combiner-only)
+        "partition_manifest": curation.partition_manifest,
         # --- windowed / order-dependent (never driver-checked) ---
         "user_sessions": windows.user_sessions,
         "purchase_attribution": windows.purchase_attribution,
@@ -625,6 +631,8 @@ def oracle_sql() -> dict[str, str]:
         "next_event_label": windows.NEXT_EVENT_LABEL_SQL,
         "funnel_stages": windows.FUNNEL_STAGES_SQL,
         "interval_join_events": windows.INTERVAL_JOIN_SQL,
+        "top_events_per_user": windows.TOP_EVENTS_PER_USER_SQL,
+        "partition_manifest": curation.PARTITION_MANIFEST_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
         "curate_neardup": curation.CURATE_NEARDUP_SQL,
         "decontaminate_docs": curation.DECONTAMINATE_SQL,

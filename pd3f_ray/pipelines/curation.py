@@ -408,3 +408,50 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
             AS BIGINT) AS checksum
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# partition manifest (Iceberg-style pruning statistics)
+# ---------------------------------------------------------------------------
+
+
+def partition_manifest(sf_dir: str):
+    """Partition-level statistics manifest — the metadata table a
+    100 TB reader prunes on BEFORE touching data files (the moral
+    equivalent of an Iceberg/Delta manifest): one row per
+    (source, lang) partition with row count, doc_id min/max (file-skip
+    range predicate) and char volume (size-based planning). Plan: a
+    pyarrow ``group_by`` partial per block (≤ |partitions| rows each),
+    then ONE tiny combiner exchange — the corpus itself never shuffles.
+    Output (source, lang, n_docs, min_doc_id, max_doc_id, sum_chars)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    docs = _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min"), ("doc_id", "max"),
+             ("n_chars", "sum")])
+        return g.rename_columns(
+            ["source", "lang", "n_docs", "min_doc_id", "max_doc_id",
+             "sum_chars"])
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Min("min_doc_id", alias_name="min_doc_id"),
+                   Max("max_doc_id", alias_name="max_doc_id"),
+                   Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+
+PARTITION_MANIFEST_SQL = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source, lang
+"""

@@ -922,3 +922,65 @@ FROM marked
 WHERE prev_max IS NULL OR ts >= prev_max
 GROUP BY window_id
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped TOP-K (top events per user by value)
+# ---------------------------------------------------------------------------
+
+TOPK_PER_USER = 3
+
+
+def top_events_per_user(sf_dir: str, k: int = TOPK_PER_USER):
+    """Grouped TOP-K — each user's ``k`` highest-value events (the
+    per-entity leaderboard primitive: best documents per domain, top
+    snapshots per url, hardest examples per task). The global per-user
+    top-k is a subset of the union of per-BLOCK per-user top-k's, so a
+    map-side partial (vectorized sort + ``groupby.head(k)`` per batch)
+    caps the exchange at ≤ k rows per (block, user); the bucketed
+    reduce re-applies the identical selection and assigns 1-based
+    ranks. Ordering is (value_cents DESC, event_id ASC) — fully
+    deterministic, oracle-exact vs row_number() ... QUALIFY. Values
+    travel as integer cents (DuckDB round() is half-away-from-zero).
+    Output (user_id, rnk, event_id, value_cents)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy() * 100
+        df = df.assign(
+            value_cents=(np.sign(v) * np.floor(np.abs(v) + 0.5))
+            .astype(np.int64)).drop(columns=["value"])
+        df = df.sort_values(["user_id", "value_cents", "event_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("user_id", sort=False).head(k)
+
+    partial = ds.map_batches(topk, batch_format="pandas")
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=["bucket"])
+        # partials already carry value_cents — re-apply selection only
+        g = g.sort_values(["user_id", "value_cents", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("user_id", sort=False).head(k)
+        rnk = g.groupby("user_id", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "rnk": rnk.to_numpy(np.int64),
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "value_cents": g["value_cents"].to_numpy(np.int64),
+        })
+
+    return _bucketed(partial).map_groups(resolve, batch_format="pandas")
+
+
+TOP_EVENTS_PER_USER_SQL = f"""
+SELECT user_id,
+       CAST(row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id)
+           AS BIGINT) AS rnk,
+       event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+QUALIFY rnk <= {TOPK_PER_USER}
+"""

@@ -2027,3 +2027,48 @@ def test_lang_confusion_matrix_covers_corpus(ray_session, con):
     assert set(df["pred_lang"].unique()) <= {"en", "none"}
     en_mass = df[df["pred_lang"] == "en"]["n"].sum()
     assert en_mass > df["n"].sum() / 2
+
+
+def test_top_events_per_user_oracle(ray_session, con):
+    from pd3f_ray.pipelines.windows import (
+        TOP_EVENTS_PER_USER_SQL,
+        top_events_per_user,
+    )
+
+    _match(top_events_per_user(SF), TOP_EVENTS_PER_USER_SQL, con)
+
+
+def test_top_events_per_user_shape(ray_session):
+    """Per-user group size ≤ k, ranks are 1..n consecutive, and rank
+    order follows (value_cents DESC, event_id ASC) within each user."""
+    from pd3f_ray.pipelines.windows import top_events_per_user
+
+    df = top_events_per_user(SF, k=2).to_pandas()
+    by = df.sort_values(["user_id", "rnk"]).groupby("user_id")
+    assert int(by.size().max()) <= 2
+    for _, g in by:
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        keys = list(zip(-g["value_cents"], g["event_id"]))
+        assert keys == sorted(keys)
+
+
+def test_partition_manifest_oracle(ray_session, con):
+    from pd3f_ray.pipelines.curation import (
+        PARTITION_MANIFEST_SQL,
+        partition_manifest,
+    )
+
+    _match(partition_manifest(SF), PARTITION_MANIFEST_SQL, con)
+
+
+def test_partition_manifest_covers_corpus(ray_session):
+    """Manifest row counts must sum to the corpus row count and the
+    doc_id ranges must be internally consistent (min ≤ max)."""
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.curation import partition_manifest
+
+    df = partition_manifest(SF).to_pandas()
+    n_corpus = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert int(df["n_docs"].sum()) == n_corpus
+    assert (df["min_doc_id"] <= df["max_doc_id"]).all()
