@@ -218,6 +218,12 @@ def _q_deadletter_roundtrip(sf_dir: str):
     return deadletter_roundtrip(sf_dir)
 
 
+def _q_resumable_roundtrip(sf_dir: str):
+    from pd3f_ray.pipelines.extraction import resumable_write_roundtrip
+
+    return resumable_write_roundtrip(sf_dir)
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     from pd3f_ray.sources.jsonl import jsonl_roundtrip
 
@@ -305,6 +311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": windows.top_events_per_user,
         # Iceberg-style partition pruning statistics (combiner-only)
         "partition_manifest": curation.partition_manifest,
+        # oracle-CHECKED resumable sink (S4/S5): sharded run_resumable
+        # + manifests + lineage + bucketed partitioned write, run TWICE
+        # (second run must skip every shard — asserted in-op)
+        "resumable_write_roundtrip": _q_resumable_roundtrip,
         # --- windowed / order-dependent (never driver-checked) ---
         "user_sessions": windows.user_sessions,
         "purchase_attribution": windows.purchase_attribution,
@@ -528,6 +538,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": similarity.knn_lsh,             # approximate → rows-only
         "knn_ivf": similarity.knn_ivf,             # approximate → rows-only
         "kmeans_assign": similarity.kmeans_assign,  # iterative → rows-only
+        # distributed full-corpus Lloyd training (broadcast + combiner
+        # per iteration; corpus never shuffles) — iterative → rows-only
+        # (flat scalar projection: list columns are unsortable in the
+        # harness canonicalizer, same convention as embed_docs)
+        "kmeans_train": similarity.kmeans_train_flat,
         "media_features": multimodal.media_features_flat,  # rows-only
         # zlib entropy-proxy quality signal (deterministic, non-SQL →
         # rows-only; ordering/monotonicity pinned by property tests)
@@ -564,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         HEADERS_ROUNDTRIP_SQL,
         PAGEBREAK_ROUNDTRIP_SQL,
         PAGES_ROUNDTRIP_SQL,
+        RESUMABLE_ROUNDTRIP_SQL as _RESUMABLE_ROUNDTRIP_SQL,
     )
     from pd3f_ray.pipelines.webtext import HTML_LINKS_SQL, HTML_ROUNDTRIP_SQL
     from pd3f_ray.sources.csvio import CSV_ROUNDTRIP_SQL
@@ -633,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_events": windows.INTERVAL_JOIN_SQL,
         "top_events_per_user": windows.TOP_EVENTS_PER_USER_SQL,
         "partition_manifest": curation.PARTITION_MANIFEST_SQL,
+        "resumable_write_roundtrip": _RESUMABLE_ROUNDTRIP_SQL,
         "curate_docs": curation.CURATE_DOCS_SQL,
         "curate_neardup": curation.CURATE_NEARDUP_SQL,
         "decontaminate_docs": curation.DECONTAMINATE_SQL,

@@ -604,6 +604,72 @@ def run_resumable(
     return total
 
 
+def resumable_write_roundtrip(sf_dir: str, num_shards: int = 4,
+                              num_buckets: int = 8):
+    """Driver-checkable roundtrip of the resumable-sink machinery
+    (S4/S5: sharded ``run_resumable`` + shard manifests + input-lineage
+    check + key-hash bucketed partitioned write + resume skip): the
+    documents table is re-sharded into a per-invocation scratch input
+    (``num_shards`` parquet files — the repartition is FIXTURE PREP,
+    not part of the measured plan), pushed through ``run_resumable``
+    with a digest transform, then run a SECOND time against the same
+    manifest — which must skip every shard (asserted in-op, so a
+    driver/oracle pass certifies the resume semantics, not just the
+    write). The bucket=NN partitioned output is read back per shard
+    dir. Output (doc_id, digest); oracle = md5(text) per document
+    straight off the source table — byte-equal means the sharded,
+    bucketed, twice-run sink lost, duplicated and reordered nothing."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from pd3f_ray.functions.textfns import md5_hex
+
+    scratch = tempfile.mkdtemp(prefix="pd3f_ray_resume_rt_")
+    in_dir = os.path.join(scratch, "in")
+    out_dir = os.path.join(scratch, "out")
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    docs.repartition(num_shards).write_parquet(in_dir)
+
+    def transform(shard_files):
+        ds = rd.read_parquet(shard_files)
+
+        def digest(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "digest": pa.array([md5_hex(t) for t in texts],
+                                   pa.string()),
+            })
+
+        return ds.map_batches(digest, batch_format="pyarrow")
+
+    kw = dict(num_shards=num_shards, num_buckets=num_buckets,
+              transform=transform, bucket_key="doc_id")
+    first = run_resumable(in_dir, out_dir, **kw)
+    second = run_resumable(in_dir, out_dir, **kw)  # resume: all skipped
+    done = first["shards_done"] + first["shards_skipped"]
+    if second["shards_done"] != 0 or second["shards_skipped"] != done:
+        raise AssertionError(
+            f"resume did not skip completed shards: first={first} "
+            f"second={second}")
+
+    files = sorted(glob.glob(
+        os.path.join(out_dir, "shard=*", "bucket=*", "*.parquet")))
+    if not files:
+        raise AssertionError(f"no bucketed output under {out_dir}")
+    out = rd.read_parquet(files)
+    return out.map_batches(lambda b: b.select(["doc_id", "digest"]),
+                           batch_format="pyarrow")
+
+
+RESUMABLE_ROUNDTRIP_SQL = """
+SELECT doc_id, md5(text) AS digest FROM documents
+"""
+
+
 def compact_parquet(in_dir: str, out_dir: str,
                     target_mb: int = 128) -> dict:
     """Small-files compaction — the operational follow-up to a sharded

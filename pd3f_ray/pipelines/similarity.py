@@ -377,3 +377,146 @@ def kmeans_assign(sf_dir: str, n_clusters: int = IVF_CLUSTERS):
         })
 
     return _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means training (full-corpus Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+KMEANS_TRAIN_ITERS = 4
+
+
+def kmeans_train(sf_dir: str, n_clusters: int = IVF_CLUSTERS,
+                 iters: int = KMEANS_TRAIN_ITERS):
+    """Distributed Lloyd k-means over the FULL embedding corpus — the
+    scale complement of ``_ivf_centroids`` (which trains driver-side on
+    a bounded sample). The classic iterative broadcast-plus-combiner
+    shape every embedding-corpus partitioner needs:
+
+    - per iteration, the k×dim centroid matrix is broadcast ONCE via
+      ``ray.put``; each batch assigns its vectors (one matmul) and
+      folds per-centroid partials (count + vector sum via a one-hot
+      matmul) to ≤ k rows per block — the corpus never shuffles;
+    - the partial table (blocks × k rows of dim-length sums) is folded
+      behind a probe-free ``repartition(1)`` combine (same bound
+      discipline as extract_summary: blocks × k × dim doubles; at
+      extreme block counts fold per cluster-hash bucket first);
+    - new centroid = renormalized mean (cosine geometry, identical
+      update rule to ``_ivf_centroids``); empty clusters keep their
+      previous centroid. Seeds are the deterministic evenly spaced
+      sample points, so the whole training run is reproducible.
+
+    Output one row per cluster: (cluster, n_members, centroid —
+    6-decimal-rounded list<double>) of the FINAL assignment.
+    Iterative + float means no SQL oracle (rows-only); determinism,
+    unit norms, membership totals and monotone inertia are pinned by
+    tests."""
+    dim = None
+    _, seed_v = _smallest_rows(sf_dir, IVF_SAMPLE)
+    norms = np.linalg.norm(seed_v, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    seed_v = seed_v / norms
+    dim = seed_v.shape[1]
+    seed_idx = np.linspace(0, len(seed_v) - 1, n_clusters).astype(int)
+    centroids = seed_v[seed_idx].copy()
+
+    def partial_table(ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = np.stack(batch.column("embedding").to_pylist()
+                         ).astype(np.float64)
+            nm = np.linalg.norm(m, axis=1, keepdims=True)
+            nm[nm == 0] = 1.0
+            m = m / nm
+            best = np.argmax(m @ c.T, axis=1)
+            onehot = np.zeros((len(m), n_clusters), np.float64)
+            onehot[np.arange(len(m)), best] = 1.0
+            sums = onehot.T @ m                   # k × dim
+            counts = onehot.sum(axis=0).astype(np.int64)
+            keep = counts > 0
+            return pa.table({
+                "cluster": pa.array(np.nonzero(keep)[0].astype(np.int64),
+                                    pa.int64()),
+                "n": pa.array(counts[keep], pa.int64()),
+                "vsum": pa.array(list(sums[keep]),
+                                 pa.list_(pa.float64())),
+            })
+        return fn
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        vs = np.stack(batch.column("vsum").to_pylist()).astype(np.float64)
+        counts = np.zeros(n_clusters, np.int64)
+        sums = np.zeros((n_clusters, dim), np.float64)
+        np.add.at(counts, cl, n)
+        np.add.at(sums, cl, vs)
+        return pa.table({
+            "cluster": pa.array(np.arange(n_clusters, dtype=np.int64),
+                                pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+        })
+
+    import ray as _ray
+
+    folded = None
+    for _ in range(iters):
+        ref = _ray.put(centroids)
+        folded = (
+            _emb(sf_dir)
+            .map_batches(partial_table(ref), batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        blk = [t for t in _ray.get(folded.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(blk)
+        counts = tbl.column("n").to_numpy(zero_copy_only=False)
+        sums = np.stack(tbl.column("vsum").to_pylist()).astype(np.float64)
+        new_c = centroids.copy()
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        mn = np.linalg.norm(means, axis=1, keepdims=True)
+        mn[mn == 0] = 1.0
+        new_c[nonempty] = means / mn
+        centroids = new_c
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sums = np.stack(batch.column("vsum").to_pylist()).astype(np.float64)
+        counts = batch.column("n").to_numpy(zero_copy_only=False)
+        means = np.where(counts[:, None] > 0, sums /
+                         np.maximum(counts[:, None], 1), 0.0)
+        mn = np.linalg.norm(means, axis=1, keepdims=True)
+        mn[mn == 0] = 1.0
+        return pa.table({
+            "cluster": batch.column("cluster"),
+            "n_members": batch.column("n"),
+            "centroid": pa.array(
+                [list(np.round(r, 6)) for r in means / mn],
+                pa.list_(pa.float64())),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_train_flat(sf_dir: str, n_clusters: int = IVF_CLUSTERS,
+                      iters: int = KMEANS_TRAIN_ITERS):
+    """Scalar projection of ``kmeans_train`` for harnesses that sort
+    rows by value (list columns are unsortable there): fixed-point
+    centroid norm, first component, and a component checksum per
+    cluster (same convention as embed_docs_flat)."""
+    ds = kmeans_train(sf_dir, n_clusters=n_clusters, iters=iters)
+
+    def flat(batch: pa.Table) -> pa.Table:
+        m = np.array(batch.column("centroid").to_pylist(), dtype=np.float64)
+        return pa.table({
+            "cluster": batch.column("cluster"),
+            "n_members": batch.column("n_members"),
+            "c_norm_x1e6": pa.array(
+                (np.linalg.norm(m, axis=1) * 1e6).astype(np.int64)),
+            "c0_x1e6": pa.array((m[:, 0] * 1e6).astype(np.int64)),
+            "c_sum_x1e6": pa.array((m.sum(axis=1) * 1e6).astype(np.int64)),
+        })
+
+    return ds.map_batches(flat, batch_format="pyarrow")

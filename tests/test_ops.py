@@ -2072,3 +2072,57 @@ def test_partition_manifest_covers_corpus(ray_session):
     n_corpus = pq.read_metadata(f"{SF}/documents.parquet").num_rows
     assert int(df["n_docs"].sum()) == n_corpus
     assert (df["min_doc_id"] <= df["max_doc_id"]).all()
+
+
+def test_resumable_write_roundtrip_oracle(ray_session, con):
+    """The op itself asserts the second run skips every shard (resume
+    semantics); the oracle match certifies the sharded bucketed sink
+    lost, duplicated and reordered nothing."""
+    from pd3f_ray.pipelines.extraction import (
+        RESUMABLE_ROUNDTRIP_SQL,
+        resumable_write_roundtrip,
+    )
+
+    _match(resumable_write_roundtrip(SF), RESUMABLE_ROUNDTRIP_SQL, con)
+
+
+def test_kmeans_train_properties(ray_session):
+    """Distributed Lloyd training: deterministic across runs, every
+    corpus vector accounted for exactly once in the final assignment,
+    non-empty centroids unit-norm (cosine geometry)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.similarity import kmeans_train
+
+    a = kmeans_train(SF).to_pandas().sort_values("cluster")
+    b = kmeans_train(SF).to_pandas().sort_values("cluster")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+    n_corpus = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert int(a["n_members"].sum()) == n_corpus
+    for _, row in a.iterrows():
+        if row["n_members"] > 0:
+            assert abs(np.linalg.norm(np.asarray(row["centroid"])) - 1.0) < 1e-4
+
+
+def test_kmeans_train_fit_monotone_in_iterations(ray_session):
+    """Spherical k-means (renormalized-mean updates) cannot degrade its
+    own objective: the corpus mean best-cosine under 4 Lloyd iterations
+    must be ≥ the 1-iteration fit from the same deterministic seeds."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.similarity import kmeans_train
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    def fit(iters: int) -> float:
+        df = kmeans_train(SF, iters=iters).to_pandas()
+        c = np.stack(df["centroid"].to_numpy())
+        c = c[np.linalg.norm(c, axis=1) > 0]
+        return float((m @ c.T).max(axis=1).mean())
+
+    assert fit(4) >= fit(1) - 1e-6
