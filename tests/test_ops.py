@@ -787,6 +787,23 @@ def test_shuffle_assignment_oracle_and_coverage(ray_session, con):
         assert sorted(sub["pos"]) == list(range(1, len(sub) + 1))
 
 
+def test_shuffle_assignment_multi_digit_shards(ray_session, con):
+    """num_shards=8 maps TWO first-hex-digits into each shard — the
+    case where the two-pass plan's correctness rests on the band
+    (digest PREFIX) being monotone in the in-shard sort key across the
+    digit boundary. Oracle-exact, and a narrow band dial (1 hex char =
+    16 bands) must not change the result either."""
+    from pd3f_ray.pipelines.webcurate import (
+        shuffle_assignment,
+        shuffle_assignment_sql,
+    )
+
+    _match(shuffle_assignment(SF, num_shards=8),
+           shuffle_assignment_sql(num_shards=8), con)
+    _match(shuffle_assignment(SF, num_shards=8, band_chars=1),
+           shuffle_assignment_sql(num_shards=8), con)
+
+
 def test_dedup_incremental_oracle(ray_session, con):
     from pd3f_ray.pipelines.dedup import (
         DEDUP_INCREMENTAL_SQL,
