@@ -499,3 +499,31 @@ def test_keep_best_packing_orders_like_the_policy(pairs):
     win = packed.index(max(packed))
     want = sorted(pairs, key=lambda t: (-t[0], t[1]))[0]
     assert pairs[win] == want
+
+
+def test_stable_bucket_strings_cross_process():
+    """String keys bucket via pd.util.hash_array (fixed-key siphash);
+    the distributed string-key label propagation
+    (name_entity_clusters' scale path) requires the SAME bucket for
+    the same key in EVERY worker process — pin it against a fresh
+    interpreter (where Python's own hash() would differ, being
+    per-process salted)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from pd3f_ray.pipelines.joins import _stable_bucket
+
+    keys = ["red bolt", "old bolt", "", "Ünïcode näme", "a" * 200]
+    here = _stable_bucket(np.array(keys, dtype=object), 64).tolist()
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo')\n"
+         "import numpy as np\n"
+         "from pd3f_ray.pipelines.joins import _stable_bucket\n"
+         "keys = ['red bolt', 'old bolt', '', 'Ünïcode näme', 'a' * 200]\n"
+         "print(_stable_bucket(np.array(keys, dtype=object), 64).tolist())"],
+        capture_output=True, text=True, check=True)
+    assert eval(out.stdout.strip()) == here
+    assert all(0 <= b < 64 for b in here)
