@@ -719,33 +719,46 @@ def _cc_local(edges_mat, out_cols: tuple = ("doc_id", "cluster_id"),
         [_uf.remote(*edges_mat.to_arrow_refs())])
 
 
-def _mat_label_sum(labels_mat) -> int:
+def _mat_label_sum(labels_mat) -> tuple[int, int]:
     """Convergence fingerprint of a MATERIALIZED label table WITHOUT
     launching a new Dataset execution: one tiny zero-cpu ray task per
-    existing block folds its label column; the driver receives one int
-    per block. The previous ``Dataset.sum("label")`` convergence probe
-    paid the 2–4 s fixed execution/aggregate barrier per round on KB of
-    data. Integer labels fold to their exact sum (strictly decreasing
-    until the fixpoint); string labels fold to a sum of fixed-key
-    64-bit siphashes (``pd.util.hash_array`` — deterministic across
-    processes), which changes whenever any label changes."""
+    existing block folds its label column; the driver receives one
+    (sum, xor) pair per block. The previous ``Dataset.sum("label")``
+    convergence probe paid the 2–4 s fixed execution/aggregate barrier
+    per round on KB of data. Integer labels fold to their exact sum
+    (strictly decreasing until the fixpoint); string labels fold to a
+    sum of fixed-key 64-bit siphashes (``pd.util.hash_array`` —
+    deterministic across processes), which changes whenever any label
+    changes. BOTH paths additionally carry an independent XOR fold of
+    the same per-row words: for the fixpoint test to falsely fire, a
+    label change would have to preserve the (mod-2^64) hash sum AND the
+    hash XOR simultaneously — structurally stronger than the single sum
+    the string path used to rely on (a ~2^-64 per-round collision
+    there could have silently stopped propagation with split
+    clusters)."""
     import ray
 
     @ray.remote(num_cpus=0)
-    def _block_sum(tbl: pa.Table) -> int:
-        import pyarrow.compute as pc
-
+    def _block_fold(tbl: pa.Table) -> tuple[int, int]:
         if tbl.num_rows == 0:  # trailing empty block has an empty schema
-            return 0
+            return (0, 0)
         col = tbl.column("label")
         if pa.types.is_integer(col.type):
-            s = pc.sum(col).as_py()
-            return int(s) if s is not None else 0
-        h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
-        return int(h.sum(dtype=np.uint64))
+            words = (col.to_numpy(zero_copy_only=False)
+                     .astype(np.uint64, copy=False))
+        else:
+            words = pd.util.hash_array(
+                np.asarray(col.to_pylist(), dtype=object))
+        return (int(words.sum(dtype=np.uint64)),
+                int(np.bitwise_xor.reduce(words)))
 
-    return sum(ray.get([_block_sum.remote(ref)
-                        for ref in labels_mat.to_arrow_refs()]))
+    folds = ray.get([_block_fold.remote(ref)
+                     for ref in labels_mat.to_arrow_refs()])
+    total_sum, total_xor = 0, 0
+    for s, x in folds:
+        total_sum = (total_sum + s) & 0xFFFFFFFFFFFFFFFF
+        total_xor ^= x
+    return (total_sum, total_xor)
 
 
 def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
@@ -770,9 +783,10 @@ def dedup_clusters(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
       the classic doubling step), so rounds needed ≈ log2(diameter)+1
       and each round pays the join exchange once (round 2 paid it
       twice). A groupby(node) Min collapses to the new labels;
-      converged when the total label sum stops falling (it decreases
-      strictly until the fixpoint), probed by per-block ray tasks over
-      the materialized label table — no extra Dataset execution. The
+      converged when the (sum, xor) label fingerprint stops changing
+      (the integer sum decreases strictly until the fixpoint), probed
+      by per-block ray tasks over the materialized label table — no
+      extra Dataset execution. The
       per-iteration label table is materialized to keep lineage flat
       AND repartitioned to a fixed block count — without that, each
       union+groupby round multiplies tiny blocks and per-task dispatch
@@ -844,7 +858,7 @@ def _cc_propagate(edges, *, key_type, label_blocks: int = 4,
         .repartition(label_blocks)
         .materialize()
     )
-    prev_sum = _mat_label_sum(labels)
+    prev_fp = _mat_label_sum(labels)
 
     probe_schema = pa.schema([("node", key_type), ("pkey", key_type)])
     lab_schema = pa.schema([("lnode", key_type), ("label", key_type)])
@@ -878,11 +892,11 @@ def _cc_propagate(edges, *, key_type, label_blocks: int = 4,
             .repartition(label_blocks)
             .materialize()
         )
-        cur_sum = _mat_label_sum(labels)
-        if cur_sum == prev_sum:
+        cur_fp = _mat_label_sum(labels)
+        if cur_fp == prev_fp:
             converged = True
             break
-        prev_sum = cur_sum
+        prev_fp = cur_fp
 
     if not converged:
         warnings.warn(

@@ -411,6 +411,8 @@ def kmeans_train(sf_dir: str, n_clusters: int = IVF_CLUSTERS,
     Iterative + float means no SQL oracle (rows-only); determinism,
     unit norms, membership totals and monotone inertia are pinned by
     tests."""
+    if iters < 1:
+        raise ValueError(f"kmeans_train: iters must be >= 1, got {iters}")
     dim = None
     _, seed_v = _smallest_rows(sf_dir, IVF_SAMPLE)
     norms = np.linalg.norm(seed_v, axis=1, keepdims=True)
@@ -482,18 +484,21 @@ def kmeans_train(sf_dir: str, n_clusters: int = IVF_CLUSTERS,
         new_c[nonempty] = means / mn
         centroids = new_c
 
+    # the loop above already folded the final assignment into
+    # ``centroids``: renormalized mean for non-empty clusters, the
+    # carried-forward previous centroid for empty ones — emit THAT
+    # matrix (broadcast once), so the output honors the "empty clusters
+    # keep their previous centroid" rule instead of a zero vector
+    final_ref = _ray.put(centroids)
+
     def finish(batch: pa.Table) -> pa.Table:
-        sums = np.stack(batch.column("vsum").to_pylist()).astype(np.float64)
-        counts = batch.column("n").to_numpy(zero_copy_only=False)
-        means = np.where(counts[:, None] > 0, sums /
-                         np.maximum(counts[:, None], 1), 0.0)
-        mn = np.linalg.norm(means, axis=1, keepdims=True)
-        mn[mn == 0] = 1.0
+        final_c = ray.get(final_ref)
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False)
         return pa.table({
             "cluster": batch.column("cluster"),
             "n_members": batch.column("n"),
             "centroid": pa.array(
-                [list(np.round(r, 6)) for r in means / mn],
+                [list(np.round(final_c[c], 6)) for c in cl],
                 pa.list_(pa.float64())),
         })
 

@@ -787,8 +787,11 @@ GROUP BY lang, pred_lang
 # ---------------------------------------------------------------------------
 
 BIGRAM_PMI_K = 20
-_PMI_SENTINEL = "\x00total"  # tokens are split on ' ' and non-empty, so
-#                              no real bigram can collide with this key
+_PMI_SENTINEL = "\x00total"  # bigram keys always contain a space, so no
+# real bigram can collide with this key; the UNIGRAM pass prefixes its
+# real token keys with '\x01' in the exchange so a corpus token that is
+# literally '\x00total' cannot merge with (or be overwritten by) the
+# sentinel row either
 
 
 def bigram_pmi(sf_dir: str, k: int = BIGRAM_PMI_K):
@@ -866,13 +869,18 @@ def bigram_pmi(sf_dir: str, k: int = BIGRAM_PMI_K):
     mem_ref = ray.put(frozenset(members))
 
     def unigram_partials(batch: pa.Table) -> pa.Table:
+        # unlike bigram keys (which always contain a space and so can
+        # never equal the sentinel), a raw corpus token COULD literally
+        # be '\x00total' — prefix every real token with '\x01' in the
+        # exchange key space so the sentinel is structurally
+        # collision-proof; the prefix is stripped after the collect
         mem = ray.get(mem_ref)
         c: Counter = Counter()
         total = 0
         for t in batch.column("text").to_pylist():
             toks = [x for x in t.split(" ") if x]
             total += len(toks)
-            c.update(x for x in toks if x in mem)
+            c.update("\x01" + x for x in toks if x in mem)
         c[_PMI_SENTINEL] = total
         return pa.table({
             "token": pa.array(list(c.keys()), pa.string()),
@@ -885,12 +893,13 @@ def bigram_pmi(sf_dir: str, k: int = BIGRAM_PMI_K):
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
     )
-    uc: dict[str, int] = {}
+    raw: dict[str, int] = {}
     for t in ray.get(uni.to_arrow_refs()):
         if t.num_rows:
-            uc.update(zip(t.column("token").to_pylist(),
-                          t.column("n").to_pylist()))
-    n_uni = uc.pop(_PMI_SENTINEL)
+            raw.update(zip(t.column("token").to_pylist(),
+                           t.column("n").to_pylist()))
+    n_uni = raw.pop(_PMI_SENTINEL)
+    uc = {k[1:]: v for k, v in raw.items()}  # strip the '\x01' prefix
 
     out_b, out_n, out_pmi = [], [], []
     for b, c_ab in top:

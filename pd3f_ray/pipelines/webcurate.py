@@ -622,6 +622,24 @@ SHUF_SHARDS = 16
 
 SHUF_BAND_CHARS = 2  # digest-prefix band width: 16**2 = 256 bands
 
+SHUF_MAX_SHARD_CHARS = 4  # shard derived from ≤4 hex chars → ≤65536 shards
+
+
+def _shard_chars(num_shards: int) -> int:
+    """Narrowest digest hex-prefix width whose keyspace covers
+    ``num_shards`` (1 char for ≤16 shards — the historical default —
+    2 for ≤256, …). Raises beyond 16**SHUF_MAX_SHARD_CHARS rather than
+    silently leaving shards empty (the same loud-guard convention as
+    fuzzy_name_pairs' max_dist > band check)."""
+    if not 1 <= num_shards <= 16 ** SHUF_MAX_SHARD_CHARS:
+        raise ValueError(
+            f"shuffle_assignment: num_shards must be in "
+            f"[1, {16 ** SHUF_MAX_SHARD_CHARS}], got {num_shards}")
+    w = 1
+    while 16 ** w < num_shards:
+        w += 1
+    return w
+
 
 def shuffle_assignment(sf_dir: str, num_shards: int = SHUF_SHARDS,
                        band_chars: int = SHUF_BAND_CHARS):
@@ -653,14 +671,19 @@ def shuffle_assignment(sf_dir: str, num_shards: int = SHUF_SHARDS,
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_bands = 16 ** band_chars
+    shard_w = _shard_chars(num_shards)  # raises on num_shards > 16**4
 
     def key(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         digests = [md5_hex(t) for t in batch.column("text").to_pylist()]
-        # shard = first hex digit of the digest (the value a strpos()
-        # can recover in the SQL oracle without hex casts)
-        shards = np.asarray([int(d[0], 16) % num_shards for d in digests],
-                            dtype=np.int64)
+        # shard = the first shard_w hex chars of the digest, mod
+        # num_shards (each char recoverable via strpos() in the SQL
+        # oracle without hex casts); width grows with num_shards so
+        # shard counts > 16 — real training jobs run ~10^3 — actually
+        # populate every shard instead of silently leaving 16+ empty
+        shards = np.asarray(
+            [int(d[:shard_w], 16) % num_shards for d in digests],
+            dtype=np.int64)
         bands = np.asarray([int(d[:band_chars], 16) for d in digests],
                            dtype=np.int64)
         return pa.table({
@@ -716,14 +739,19 @@ def shuffle_assignment(sf_dir: str, num_shards: int = SHUF_SHARDS,
 
 
 def shuffle_assignment_sql(num_shards: int = SHUF_SHARDS) -> str:
+    w = _shard_chars(num_shards)
+    terms = [
+        f"(strpos('0123456789abcdef', substring(md5(text), {i}, 1)) - 1)"
+        for i in range(1, w + 1)
+    ]
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"(({expr}) * 16 + {t})"
     return f"""
 SELECT doc_id,
-       CAST((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1)
-            % {num_shards} AS BIGINT) AS shard,
+       CAST({expr} % {num_shards} AS BIGINT) AS shard,
        CAST(row_number() OVER (
-            PARTITION BY (strpos('0123456789abcdef',
-                                 substring(md5(text), 1, 1)) - 1)
-                         % {num_shards}
+            PARTITION BY {expr} % {num_shards}
             ORDER BY md5(text), doc_id) AS BIGINT) AS pos
 FROM documents
 """

@@ -2161,3 +2161,108 @@ def test_bigram_pmi_members_match_top_bigrams(ray_session):
     top = top_bigrams(SF).to_pandas()
     assert sorted(pmi["bigram"]) == sorted(top["bigram"])
     assert (pmi["n"].to_numpy() > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# round-5 hardening (ADVICE r4): sentinel collisions, wide shards,
+# kmeans empty-cluster carry
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_assignment_wide_shards_oracle(ray_session, con):
+    """num_shards=256 needs TWO digest hex chars for the shard — the
+    single-digit derivation silently left shards 16+ empty. Oracle-exact
+    at the wider width, and the population must actually reach past
+    shard 15."""
+    from pd3f_ray.pipelines.webcurate import (
+        shuffle_assignment,
+        shuffle_assignment_sql,
+    )
+
+    _match(shuffle_assignment(SF, num_shards=256),
+           shuffle_assignment_sql(num_shards=256), con)
+    df = shuffle_assignment(SF, num_shards=256).to_pandas()
+    assert df["shard"].max() > 15
+    assert df["shard"].nunique() > 16
+
+
+def test_shuffle_assignment_num_shards_guard():
+    """num_shards outside [1, 16^4] raises loudly instead of silently
+    leaving shards empty (same convention as fuzzy_name_pairs)."""
+    from pd3f_ray.pipelines.webcurate import _shard_chars
+
+    assert _shard_chars(1) == 1
+    assert _shard_chars(16) == 1
+    assert _shard_chars(17) == 2
+    assert _shard_chars(256) == 2
+    assert _shard_chars(1024) == 3
+    assert _shard_chars(65536) == 4
+    with pytest.raises(ValueError):
+        _shard_chars(0)
+    with pytest.raises(ValueError):
+        _shard_chars(65537)
+
+
+def test_kmeans_train_iters_validation():
+    from pd3f_ray.pipelines.similarity import kmeans_train
+
+    with pytest.raises(ValueError):
+        kmeans_train(SF, iters=0)
+
+
+def test_kmeans_train_empty_clusters_carry_seed(ray_session):
+    """With n_clusters > corpus size the pigeonhole principle forces
+    empty clusters; those must emit their carried (previous) centroid
+    — here the unit-norm seed — not a zero vector. Every centroid in
+    the output is therefore unit-norm, empty or not."""
+    from pd3f_ray.pipelines.similarity import (
+        IVF_SAMPLE,
+        _smallest_rows,
+        kmeans_train,
+    )
+
+    n_clusters = 600  # > 500 corpus vectors → ≥100 empty clusters
+    df = kmeans_train(SF, n_clusters=n_clusters, iters=1).to_pandas()
+    assert len(df) == n_clusters
+    c = np.stack(df.sort_values("cluster")["centroid"].to_numpy())
+    norms = np.linalg.norm(c, axis=1)
+    assert (np.abs(norms - 1.0) < 1e-4).all()
+
+    empty = df[df["n_members"] == 0]
+    assert len(empty) > 0, "fixture should force at least one empty cluster"
+    # the carried centroid for an iters=1 empty cluster is its seed
+    _, seed_v = _smallest_rows(SF, IVF_SAMPLE)
+    seed_v = seed_v / np.maximum(
+        np.linalg.norm(seed_v, axis=1, keepdims=True), 1e-300)
+    seed_idx = np.linspace(0, len(seed_v) - 1, n_clusters).astype(int)
+    for _, row in empty.iterrows():
+        want = np.round(seed_v[seed_idx[int(row["cluster"])]], 6)
+        assert np.allclose(np.asarray(row["centroid"]), want, atol=1e-9)
+
+
+def test_bigram_pmi_sentinel_token_immune(ray_session, tmp_path):
+    """A corpus token literally equal to the '\\x00total' sentinel must
+    not merge with (or be overwritten by) the unigram-total row: the
+    exchange prefixes real tokens with '\\x01'. 6/8 bigrams are
+    '\\x00total x', so PMI = ln((6/8) / ((6/16) * (6/16)))."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pd3f_ray.pipelines.textstats import bigram_pmi
+
+    texts = ["\x00total x"] * 6 + ["y z"] * 2
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    df = bigram_pmi(str(tmp_path), k=1).to_pandas()
+    assert list(df["bigram"]) == ["\x00total x"]
+    assert list(df["n"]) == [6]
+    want = math.floor(
+        math.log((6 / 8) / ((6 / 16) * (6 / 16))) * 1_000_000)
+    assert list(df["pmi_micros"]) == [want]
