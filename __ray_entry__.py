@@ -143,6 +143,11 @@ def _q_extract_summary(sf_dir: str):
         )
         return g.rename_columns(["lang", "n_docs", "sum_chars", "n_errors"])
 
+    # SCALE NOTE: the repartition(1) fold is bounded by blocks × |langs|
+    # partial rows (a handful of langs here), NOT by corpus size — fine
+    # for any realistic language cardinality. If the group key ever
+    # became high-cardinality (domains, users), this combine must move
+    # to a bucketed groupby exchange instead of a single-block fold.
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .repartition(1)

@@ -20,6 +20,25 @@ well-defined. Lower score = more probable, like perplexity.
 
 Everything is pure and deterministic: same text → same float, on any
 host, at any parallelism.
+
+KNOWN LIMITATION — stub-vs-real LM parity (documented, not fixable in
+this sandbox): every green extraction roundtrip in CORRECTNESS_r01-r05
+was produced with ``DeterministicScorer``. The real-weights seam —
+``FlairScorerBackend`` below, selected via
+``ExtractOptions(scorer_backend="flair")`` — has the same five-method
+interface and is covered by an opt-in integration test
+(tests/test_scorer.py, skipped without torch), but torch/flair are not
+installed here, so it has NEVER run with real weights. Consequently the
+LM-dependent decision rules (C1 rule-7 newline tiebreak, L2
+dehyphenation choice, L4 split-paragraph merge) are proven byte-exact
+against the STUB's cost model, not against Flair perplexities: with
+real weights the individual join/hyphen choices can differ wherever the
+two models rank candidate joins differently, while the surrounding
+machinery (candidate construction, tie ordering, actor-pool
+determinism, caching) is scorer-agnostic and is what the roundtrips
+pin. First run in a torch-capable environment: un-skip the integration
+test and add a 100-doc ``*_roundtrip`` with ``scorer_backend="flair"``
+pinning cross-actor determinism of ``single_score``.
 """
 
 from __future__ import annotations
