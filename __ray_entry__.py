@@ -175,6 +175,12 @@ def _q_extract_roundtrip(sf_dir: str):
     return extract_roundtrip(sf_dir)
 
 
+def _q_parsr_ingest_roundtrip(sf_dir: str):
+    from pd3f_ray.stages.parsr import parsr_ingest_roundtrip
+
+    return parsr_ingest_roundtrip(sf_dir)
+
+
 def _q_pages_roundtrip(sf_dir: str):
     from pd3f_ray.pipelines.extraction import pages_roundtrip
 
@@ -300,6 +306,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pushed through the REAL bucketed sort-shuffle + fused reduce
         # (extract_pages_fused); driver hash-compares text byte-per-url
         "pages_roundtrip": _q_pages_roundtrip,
+        # oracle-CHECKED PDF-ingestion connector (new in r5): documents
+        # as fake PDFs through the REAL ParsrIngest actor pool
+        # (submit→poll→fetch→passthrough, deterministic no-network
+        # transport) then the REAL ExtractDocs pool — the reference's
+        # full run_parsr→export lifecycle as one streaming pipeline,
+        # byte-per-url oracle
+        "parsr_ingest_roundtrip": _q_parsr_ingest_roundtrip,
         # oracle-CHECKED header/footer machinery: two-page wrap with
         # repeated isHeader/isFooter groups; near-dup dedup + placement
         # must reproduce the SQL-expressible render byte-per-url
@@ -568,8 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only ops → round-4 green fill. Everything else follows in
     # its round-4 order.
     prefix = [
-        # flagship byte-parity signal (driver-green r2-r4)
-        "extract_roundtrip", "pages_roundtrip",
+        # flagship byte-parity signal (driver-green r2-r4) + the new
+        # round-5 ingestion-connector roundtrip
+        "extract_roundtrip", "pages_roundtrip", "parsr_ingest_roundtrip",
         # plans changed this session (ADVICE r4): wide-shard digest
         # derivation; (sum, xor) convergence fingerprint in _cc_propagate
         "shuffle_assignment", "dedup_clusters", "name_entity_clusters",
@@ -638,8 +652,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from pd3f_ray.sources.jsonl import JSONL_ROUNDTRIP_SQL
 
+    from pd3f_ray.stages.parsr import PARSR_INGEST_ROUNDTRIP_SQL
+
     return {
         "extract_roundtrip": EXTRACT_ROUNDTRIP_SQL,
+        "parsr_ingest_roundtrip": PARSR_INGEST_ROUNDTRIP_SQL,
         "pages_roundtrip": PAGES_ROUNDTRIP_SQL,
         "pages_staged_roundtrip": PAGES_ROUNDTRIP_SQL,
         "headers_roundtrip": HEADERS_ROUNDTRIP_SQL,

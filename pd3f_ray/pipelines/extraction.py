@@ -138,16 +138,7 @@ def extract_roundtrip(sf_dir: str):
     rows-only count."""
     import pyarrow as pa
 
-    from pd3f_ray.sources.synth import (
-        BODY_FONT,
-        FONTS,
-        LINE_GAP,
-        LINE_H,
-        MARGIN_L,
-        _IdGen,
-        _line,
-        _paragraph,
-    )
+    from pd3f_ray.sources.synth import identity_layout
     from pd3f_ray.stages.pages import _dumps
 
     def wrap(batch: pa.Table) -> pa.Table:
@@ -156,18 +147,8 @@ def extract_roundtrip(sf_dir: str):
         langs = batch.column("lang").to_pylist()
         urls, htmls = [], []
         for did, text in zip(ids, texts):
-            gen = _IdGen()
-            line = _line(gen, text.split(" "), BODY_FONT, 90.0, MARGIN_L)
-            para = _paragraph(gen, [line])
-            d1 = _line(gen, ["..."], BODY_FONT, 500.0, MARGIN_L)
-            d2 = _line(gen, ["..."], BODY_FONT, 500.0 + LINE_H + LINE_GAP,
-                       MARGIN_L)
-            layout = {
-                "pages": [{"elements": [para, _paragraph(gen, [d1, d2])]}],
-                "fonts": [dict(f) for f in FONTS],
-            }
             urls.append(f"doc://{did}")
-            htmls.append(_dumps(layout))
+            htmls.append(_dumps(identity_layout(text)))
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),

@@ -354,6 +354,26 @@ def _doc_tables(doc_idx: int, rng: random.Random) -> list[str]:
     return tables
 
 
+def identity_layout(text: str) -> dict:
+    """Layout the extraction kernel is IDENTITY on for ``text``: one
+    page, one paragraph holding the whole token stream as a single line
+    (no join-cascade decisions, no dedup / page-number / header-footer
+    candidates), plus a punctuation-only two-line dummy paragraph that
+    the alnum gate drops but that gives DocStats its required line-gap
+    sample. Extracted output is exactly ``text + "\\n\\n"`` — the wrap
+    behind ``extract_roundtrip`` and ``parsr_ingest_roundtrip``'s
+    byte-per-url oracles."""
+    gen = _IdGen()
+    line = _line(gen, text.split(" "), BODY_FONT, 90.0, MARGIN_L)
+    para = _paragraph(gen, [line])
+    d1 = _line(gen, ["..."], BODY_FONT, 500.0, MARGIN_L)
+    d2 = _line(gen, ["..."], BODY_FONT, 500.0 + LINE_H + LINE_GAP, MARGIN_L)
+    return {
+        "pages": [{"elements": [para, _paragraph(gen, [d1, d2])]}],
+        "fonts": [dict(f) for f in FONTS],
+    }
+
+
 def build_layout(doc_idx: int, seed: int = 42, scenario: str | None = None) -> tuple[dict, str]:
     """Deterministic layout for document ``doc_idx``. Returns
     (layout_dict, scenario_name)."""
