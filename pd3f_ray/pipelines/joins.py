@@ -10,9 +10,10 @@ two join strategies a 100 TB pipeline needs, both oracle-checked:
   and goes through the bucketed join instead.
 - **bucketed hash join** (big ⋈ big): both sides are tagged, given a
   stable ``hash(key) % B`` bucket column, unioned, and co-partitioned by
-  ONE ``groupby(bucket)`` exchange; inside each group a vectorized
-  pandas merge joins the sides. B bounds per-group memory; skewed keys
-  spread over B only if salted — the knob is exposed.
+  ONE ``groupby(bucket)`` exchange; inside each group one Acero hash
+  join (``pa.Table.join``) joins the sides — pyarrow-native end to end,
+  no Arrow→pandas→Arrow block conversion. B bounds per-group memory;
+  skewed keys spread over B only if salted — the knob is exposed.
 
 ``nation_revenue`` composes them: lineitem ⋈ orders and then
 per-custkey partials ⋈ customer via TWO bucketed hash joins (all three
@@ -28,11 +29,44 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
 JOIN_BUCKETS = 128
+
+
+def _arrow_fields(schema) -> dict:
+    """{column: pyarrow type} from either a pyarrow schema or a Ray
+    PandasBlockSchema (numpy dtypes; object → string). Plan-time input
+    of the pyarrow-native group reducers below."""
+    out = {}
+    for name, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            out[name] = t
+        elif getattr(t, "kind", None) in ("O", "U", "S"):
+            out[name] = pa.string()
+        else:
+            out[name] = pa.from_numpy_dtype(t)
+    return out
+
+
+def _side_table(group: pa.Table, side: str, fields: dict) -> pa.Table:
+    """One side's rows of a tagged-union group, projected onto its
+    plan-time schema. The union pads a side's missing columns with
+    typed nulls (Arrow keeps int64 integral — no pandas float
+    promotion), but a group whose blocks all came from ONE side may
+    lack the other side's columns entirely — pad those here."""
+    t = group.filter(pc.equal(group.column("__side"), side))
+    cols = {}
+    for name, typ in fields.items():
+        if name in t.column_names:
+            c = t.column(name)
+            cols[name] = c if c.type == typ else c.cast(typ)
+        else:
+            cols[name] = pa.nulls(t.num_rows, typ)
+    return pa.table(cols)
 
 
 def _pq(sf_dir: str, table: str, columns):
@@ -110,44 +144,38 @@ def hash_join(
             return pa.concat_tables(out)
         return fn
 
-    # column lists + dtypes captured at plan time: the union pads each
-    # side's missing columns with nulls, which silently floats int64
-    # columns in the pandas groups — select by name and cast back so the
-    # merge output schema is stable and integral keys stay integral
-    def _dtypes(schema):
-        # arrow types expose to_pandas_dtype(); pandas-block schemas
-        # already hold numpy dtypes
-        return {
-            name: (t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t)
-            for name, t in zip(schema.names, schema.types)
-        }
-
-    left_dt = _dtypes(left_schema if left_schema is not None
-                      else left.schema().base_schema)
-    right_dt = _dtypes(right_schema if right_schema is not None
-                       else right.schema().base_schema)
-    left_cols = list(left_dt)
-    right_cols = list(right_dt)
-    out_dt = {**left_dt, **{k: v for k, v in right_dt.items()
-                            if k not in left_dt}}
+    # column lists + arrow types captured at plan time — the group
+    # reducer is pyarrow-native (zero-copy block slices in, one Acero
+    # hash join per group, no Arrow→pandas→Arrow round-trip)
+    left_ft = _arrow_fields(left_schema if left_schema is not None
+                            else left.schema().base_schema)
+    right_ft = _arrow_fields(right_schema if right_schema is not None
+                             else right.schema().base_schema)
+    out_ft = {**left_ft, **{k: v for k, v in right_ft.items()
+                            if k not in left_ft}}
 
     tagged = left.map_batches(tag("l", left_key), batch_format="pyarrow").union(
         right.map_batches(tag("r", right_key), batch_format="pyarrow")
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        # reindex: when one side contributes no rows to this group (or to
-        # the whole union), its columns may be absent entirely
-        l = (group.loc[group["__side"] == "l"]
-             .reindex(columns=left_cols).astype(left_dt))
-        r = (group.loc[group["__side"] == "r"]
-             .reindex(columns=right_cols).astype(right_dt))
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=d)
-                                 for c, d in out_dt.items()})
-        return l.merge(r, left_on=left_key, right_on=right_key)
+    def merge(group: pa.Table) -> pa.Table:
+        l = _side_table(group, "l", left_ft)
+        r = _side_table(group, "r", right_ft)
+        if l.num_rows == 0 or r.num_rows == 0:
+            return pa.table({c: pa.nulls(0, t) for c, t in out_ft.items()})
+        if right_key != left_key:
+            # Acero coalesces the key pair into the left name; pandas
+            # merge keeps both — carry a copy through and restore it
+            r = r.append_column("__rk", r.column(right_key))
+        out = l.join(r, keys=left_key, right_keys=right_key,
+                     join_type="inner")
+        if right_key != left_key:
+            out = out.rename_columns(
+                [right_key if c == "__rk" else c for c in out.column_names])
+        return out.select(list(out_ft))
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(merge,
+                                                 batch_format="pyarrow")
 
 
 def left_join(
@@ -174,36 +202,35 @@ def left_join(
             )
         return fn
 
-    def _dtypes(schema):
-        return {
-            name: (t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t)
-            for name, t in zip(schema.names, schema.types)
-        }
-
-    left_dt = _dtypes(left_schema if left_schema is not None
-                      else left.schema().base_schema)
-    right_dt = _dtypes(right_schema if right_schema is not None
-                       else right.schema().base_schema)
-    left_cols, right_cols = list(left_dt), list(right_dt)
-    # right non-key columns become nullable on unmatched rows
-    right_nullable = {
-        c: ("Int64" if pd.api.types.is_integer_dtype(d) else d)
-        for c, d in right_dt.items()
-    }
+    left_ft = _arrow_fields(left_schema if left_schema is not None
+                            else left.schema().base_schema)
+    right_ft = _arrow_fields(right_schema if right_schema is not None
+                             else right.schema().base_schema)
+    out_ft = {**left_ft, **{k: v for k, v in right_ft.items()
+                            if k not in left_ft}}
 
     tagged = left.map_batches(tag("l", left_key), batch_format="pyarrow").union(
         right.map_batches(tag("r", right_key), batch_format="pyarrow")
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = (group.loc[group["__side"] == "l"]
-             .reindex(columns=left_cols).astype(left_dt))
-        r = (group.loc[group["__side"] == "r"]
-             .reindex(columns=right_cols).astype(right_dt))
-        out = l.merge(r, how="left", left_on=left_key, right_on=right_key)
-        return out.astype(right_nullable, errors="ignore")
+    def merge(group: pa.Table) -> pa.Table:
+        l = _side_table(group, "l", left_ft)
+        r = _side_table(group, "r", right_ft)
+        if l.num_rows == 0:
+            return pa.table({c: pa.nulls(0, t) for c, t in out_ft.items()})
+        if right_key != left_key:
+            # keep the right key as a real column: null on unmatched
+            # rows (Acero's coalesced key is always the left value)
+            r = r.append_column("__rk", r.column(right_key))
+        out = l.join(r, keys=left_key, right_keys=right_key,
+                     join_type="left outer")
+        if right_key != left_key:
+            out = out.rename_columns(
+                [right_key if c == "__rk" else c for c in out.column_names])
+        return out.select(list(out_ft))
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(merge,
+                                                 batch_format="pyarrow")
 
 
 def anti_join(
@@ -256,37 +283,30 @@ def _membership_join(
             )
         return fn
 
-    def _dtypes(schema):
-        return {
-            name: (t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t)
-            for name, t in zip(schema.names, schema.types)
-        }
-
-    left_dt = _dtypes(left_schema if left_schema is not None
-                      else left.schema().base_schema)
-    left_cols = list(left_dt)
+    left_ft = _arrow_fields(left_schema if left_schema is not None
+                            else left.schema().base_schema)
 
     tagged = left.map_batches(tag("l", left_key), batch_format="pyarrow").union(
         right.map_batches(tag("r", right_key), batch_format="pyarrow")
     )
 
-    def membership(group: pd.DataFrame) -> pd.DataFrame:
-        l = (group.loc[group["__side"] == "l"]
-             .reindex(columns=left_cols).astype(left_dt))
-        if len(l) == 0:
-            return pd.DataFrame({c: pd.Series([], dtype=d)
-                                 for c, d in left_dt.items()})
-        r = group.loc[group["__side"] == "r"]
-        if right_key in r.columns and len(r):
-            rk = set(r[right_key].dropna().astype("int64"))
-            hit = l[left_key].isin(rk)
-            l = l[hit] if keep_matched else l[~hit]
+    def membership(group: pa.Table) -> pa.Table:
+        l = _side_table(group, "l", left_ft)
+        if l.num_rows == 0:
+            return pa.table({c: pa.nulls(0, t) for c, t in left_ft.items()})
+        r = group.filter(pc.equal(group.column("__side"), "r"))
+        if right_key in r.column_names and r.num_rows:
+            keys = pc.drop_null(r.column(right_key)).combine_chunks()
+            hit = pc.is_in(l.column(left_key), value_set=keys)
+            mask = hit if keep_matched else pc.invert(hit)
+            # a null left key is never a member: pc.is_in yields false
+            l = l.filter(pc.fill_null(mask, not keep_matched))
         elif keep_matched:
-            l = l.iloc[0:0]
+            l = l.slice(0, 0)
         return l
 
     return tagged.groupby("__bucket").map_groups(membership,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 BROADCAST_MAX_BYTES = 256 << 20  # AQE broadcast-vs-shuffle threshold
@@ -524,8 +544,8 @@ def full_outer_join(
     """FULL OUTER join on a shared int64 key column (same name on both
     sides), via the standard one-shuffle bucketed co-partitioning: an
     unmatched row of EITHER side lands in exactly its key's bucket, so
-    the in-group pandas outer merge sees every partner it could have.
-    Non-key integer columns come back pandas-nullable (``Int64``) so the
+    the in-group Acero outer join sees every partner it could have.
+    Non-key integer columns come back as NULLABLE Arrow int64 so the
     block schema is identical whether or not a group had mismatches."""
 
     def tag(side: str):
@@ -537,35 +557,28 @@ def full_outer_join(
             )
         return fn
 
-    def _dtypes(schema, nullable: bool):
-        out = {}
-        for name, t in zip(schema.names, schema.types):
-            d = t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t
-            if nullable and name != key and pd.api.types.is_integer_dtype(d):
-                d = "Int64"
-            out[name] = d
-        return out
-
-    left_dt = _dtypes(left_schema if left_schema is not None
-                      else left.schema().base_schema, nullable=True)
-    right_dt = _dtypes(right_schema if right_schema is not None
-                       else right.schema().base_schema, nullable=True)
-    out_dt = {**left_dt, **{k: v for k, v in right_dt.items()
-                            if k not in left_dt}}
+    left_ft = _arrow_fields(left_schema if left_schema is not None
+                            else left.schema().base_schema)
+    right_ft = _arrow_fields(right_schema if right_schema is not None
+                             else right.schema().base_schema)
+    out_ft = {**left_ft, **{k: v for k, v in right_ft.items()
+                            if k not in left_ft}}
 
     tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
         right.map_batches(tag("r"), batch_format="pyarrow")
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        l = (group.loc[group["__side"] == "l"]
-             .reindex(columns=list(left_dt)).astype(left_dt))
-        r = (group.loc[group["__side"] == "r"]
-             .reindex(columns=list(right_dt)).astype(right_dt))
-        out = l.merge(r, on=key, how="outer")
-        return out.reindex(columns=list(out_dt)).astype(out_dt)
+    def merge(group: pa.Table) -> pa.Table:
+        l = _side_table(group, "l", left_ft)
+        r = _side_table(group, "r", right_ft)
+        # Acero coalesces the shared key (COALESCE(l.key, r.key)) and
+        # handles an empty side; unmatched columns come back as typed
+        # nulls — int64 stays integral, no pandas float promotion
+        out = l.join(r, keys=key, join_type="full outer")
+        return out.select(list(out_ft))
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(merge,
+                                                 batch_format="pyarrow")
 
 
 def click_purchase_matrix(sf_dir: str, num_buckets: int = 32):
@@ -663,11 +676,13 @@ def region_brand_revenue(sf_dir: str, num_buckets: int = 64):
         left_schema=li_schema, right_schema=part_schema,
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = (df.groupby(["l_suppkey", "p_brand"], sort=False, as_index=False)
-             .agg(cents=("cents", "sum"), n_items=("cents", "size")))
-        g["n_items"] = g["n_items"].astype(np.int64)
-        return g
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select(["l_suppkey", "p_brand", "cents"])
+             .group_by(["l_suppkey", "p_brand"])
+             .aggregate([("cents", "sum"), ("cents", "count")]))
+        # group_by output order: keys first, then aggregates
+        return g.rename_columns(["l_suppkey", "p_brand", "cents",
+                                 "n_items"])
 
     mid_schema = pa.schema([("l_suppkey", pa.int64()),
                             ("p_brand", pa.string()),
@@ -676,7 +691,7 @@ def region_brand_revenue(sf_dir: str, num_buckets: int = 64):
     supp_schema = pa.schema([("s_suppkey", pa.int64()),
                              ("s_nationkey", pa.int64())])
     j2 = hash_join(
-        j1.map_batches(partial, batch_format="pandas"), supplier,
+        j1.map_batches(partial, batch_format="pyarrow"), supplier,
         "l_suppkey", "s_suppkey", num_buckets=num_buckets,
         left_schema=mid_schema, right_schema=supp_schema,
     )

@@ -42,6 +42,26 @@ def _bucketed(ds, num_buckets: int = WINDOW_BUCKETS):
     return ds.map_batches(add_bucket, batch_format="pyarrow").groupby("bucket")
 
 
+def _col_np(tbl: pa.Table, name: str) -> np.ndarray:
+    """Arrow column → numpy (chunk-merging; timestamps come back as
+    datetime64[us]). The entry point of the pyarrow-native reducers
+    below — the group table is a zero-copy block slice, so only the
+    columns actually touched are materialized, instead of the whole
+    Arrow→pandas→Arrow block round-trip a pandas reducer pays."""
+    return tbl.column(name).to_numpy(zero_copy_only=False)
+
+
+def _latest_idx(uid: np.ndarray, ts: np.ndarray,
+                eid: np.ndarray) -> np.ndarray:
+    """Row indices of each user's (ts, event_id)-argmax — the shared
+    keep-latest kernel of the map-side partial and the bucketed
+    reduce."""
+    order = np.lexsort((eid, ts, uid))
+    us = uid[order]
+    last = np.flatnonzero(np.r_[us[1:] != us[:-1], True])
+    return order[last]
+
+
 def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN):
     """Per-user session windows: a session breaks after ``gap_min``
     minutes of inactivity. Output one row per session:
@@ -50,34 +70,52 @@ def user_sessions(sf_dir: str, gap_min: int = SESSION_GAP_MIN):
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
     gap_us = gap_min * 60 * 1_000_000
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        out = {k: [] for k in ("user_id", "session_id", "session_start",
-                               "session_end", "n_events", "sum_value_cents")}
-        for uid, sub in group.groupby("user_id", sort=False):
-            sub = sub.sort_values(["ts", "event_id"])
-            ts = sub["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            v = sub["value"].to_numpy() * 100
-            # DuckDB round() is half-away-from-zero (np.rint is half-even)
-            cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
-            new_sess = np.ones(len(ts), dtype=np.int64)
-            if len(ts) > 1:
-                new_sess[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-            sess_ids = np.cumsum(new_sess)  # 1-based per user
-            for sid in np.unique(sess_ids):
-                m = sess_ids == sid
-                out["user_id"].append(int(uid))
-                out["session_id"].append(int(sid))
-                out["session_start"].append(
-                    pd.Timestamp(ts[m].min(), unit="us"))
-                out["session_end"].append(pd.Timestamp(ts[m].max(), unit="us"))
-                out["n_events"].append(int(m.sum()))
-                out["sum_value_cents"].append(int(cents[m].sum()))
-        return pd.DataFrame(out)
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        ts = _col_np(group, "ts").astype("datetime64[us]").astype(np.int64)
+        val = _col_np(group, "value")
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        v = val * 100
+        # DuckDB round() is half-away-from-zero (np.rint is half-even)
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        # a session starts at each user's first row or after a gap; all
+        # per-session stats are segment reduces over the sorted stream
+        first = np.r_[True, uid[1:] != uid[:-1]]
+        new_sess = first.copy()
+        if len(ts) > 1:
+            new_sess[1:] |= ts[1:] - ts[:-1] > gap_us
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(uid)]
+        if len(starts) == 0:
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            et = pa.array(np.empty(0, "datetime64[us]"),
+                          pa.timestamp("us"))
+            return pa.table({"user_id": e, "session_id": e,
+                             "session_start": et, "session_end": et,
+                             "n_events": e, "sum_value_cents": e})
+        # 1-based session number within each user: session index minus
+        # the index of that user's first session
+        s_user = uid[starts]
+        s_first = np.flatnonzero(np.r_[True, s_user[1:] != s_user[:-1]])
+        per_user = np.diff(np.r_[s_first, len(starts)])
+        sid = (np.arange(len(starts), dtype=np.int64)
+               - np.repeat(s_first, per_user) + 1)
+        return pa.table({
+            "user_id": pa.array(s_user, pa.int64()),
+            "session_id": pa.array(sid, pa.int64()),
+            "session_start": pa.array(
+                ts[starts].astype("datetime64[us]"), pa.timestamp("us")),
+            "session_end": pa.array(
+                ts[ends - 1].astype("datetime64[us]"), pa.timestamp("us")),
+            "n_events": pa.array((ends - starts).astype(np.int64),
+                                 pa.int64()),
+            "sum_value_cents": pa.array(np.add.reduceat(cents, starts),
+                                        pa.int64()),
+        })
 
-    return _bucketed(ds).map_groups(
-        lambda g: sessions(g.drop(columns=["bucket"])),
-        batch_format="pandas",
-    )
+    return _bucketed(ds).map_groups(sessions, batch_format="pyarrow")
 
 
 USER_SESSIONS_SQL = f"""
@@ -116,31 +154,40 @@ def purchase_attribution(sf_dir: str):
     back as float64 from the SQL oracle and break value-hash compares)."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
-    def attribute(group: pd.DataFrame) -> pd.DataFrame:
-        out_e, out_p = [], []
-        for _, sub in group.groupby("user_id", sort=False):
-            sub = sub.sort_values(["ts", "event_id"])
-            etypes = sub["event_type"].to_numpy()
-            ids = sub["event_id"].to_numpy()
-            # index of the latest non-purchase row at-or-before each row
-            non_p = etypes != "purchase"
-            idx = np.where(non_p, np.arange(len(sub)), -1)
-            last_np = np.maximum.accumulate(idx)
-            for i in np.nonzero(etypes == "purchase")[0]:
-                out_e.append(int(ids[i]))
-                # strictly prior: positions < i — last_np[i] is at-or-
-                # before, and position i itself is a purchase, so it is
-                # automatically strictly prior
-                out_p.append(int(ids[last_np[i]]) if last_np[i] >= 0 else -1)
-        return pd.DataFrame({
-            "event_id": pd.Series(out_e, dtype="int64"),
-            "prior_event_id": pd.Series(out_p, dtype="int64"),
+    def attribute(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        ts = _col_np(group, "ts")
+        etypes = _col_np(group, "event_type")
+        order = np.lexsort((eid, ts, uid))
+        uid, ids, etypes = uid[order], eid[order], etypes[order]
+        n = len(uid)
+        if n == 0:
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table({"event_id": e, "prior_event_id": e})
+        # position of the latest non-purchase row at-or-before each row,
+        # via ONE global running max over the user-sorted stream: a
+        # carried position from an earlier user is < this user's segment
+        # start, so the per-user reset is the seg_start comparison (no
+        # per-user loop)
+        non_p = etypes != "purchase"
+        idx = np.where(non_p, np.arange(n), -1)
+        last_np = np.maximum.accumulate(idx)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, counts)
+        valid = last_np >= seg_start
+        prior = np.where(valid, ids[np.maximum(last_np, 0)], -1)
+        # a purchase row has idx = -1, so last_np at it is automatically
+        # STRICTLY prior
+        p = etypes == "purchase"
+        return pa.table({
+            "event_id": pa.array(ids[p].astype(np.int64), pa.int64()),
+            "prior_event_id": pa.array(prior[p].astype(np.int64),
+                                       pa.int64()),
         })
 
-    return _bucketed(ds).map_groups(
-        lambda g: attribute(g.drop(columns=["bucket"])),
-        batch_format="pandas",
-    )
+    return _bucketed(ds).map_groups(attribute, batch_format="pyarrow")
 
 
 PURCHASE_ATTRIBUTION_SQL = """
@@ -247,23 +294,25 @@ def latest_event_per_user(sf_dir: str):
     (user_id, last_event_id, last_ts, last_event_type)."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
-    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        return df[~df["user_id"].duplicated(keep="last")]
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = _latest_idx(_col_np(batch, "user_id"), _col_np(batch, "ts"),
+                          _col_np(batch, "event_id"))
+        return batch.take(pa.array(np.sort(idx)))
 
-    partial = ds.map_batches(
-        lambda b: keep_latest(b), batch_format="pandas")
+    partial = ds.map_batches(keep_latest, batch_format="pyarrow")
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        out = keep_latest(group.drop(columns=["bucket"]))
-        return pd.DataFrame({
-            "user_id": out["user_id"].to_numpy(np.int64),
-            "last_event_id": out["event_id"].to_numpy(np.int64),
-            "last_ts": out["ts"],
-            "last_event_type": out["event_type"].to_numpy(object),
+    def resolve(group: pa.Table) -> pa.Table:
+        out = keep_latest(group)
+        return pa.table({
+            "user_id": out.column("user_id"),
+            "last_event_id": out.column("event_id"),
+            "last_ts": out.column("ts"),
+            "last_event_type": out.column("event_type"),
         })
 
-    return _bucketed(partial).map_groups(resolve, batch_format="pandas")
+    return _bucketed(partial).map_groups(resolve, batch_format="pyarrow")
 
 
 LATEST_EVENT_SQL = """
@@ -286,21 +335,30 @@ def user_running_total(sf_dir: str):
     is exact. Output (event_id, user_id, cum_value_cents)."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
 
-    def running(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.drop(columns=["bucket"]).sort_values(
-            ["user_id", "ts", "event_id"])
-        v = group["value"].to_numpy() * 100
+    def running(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        ts = _col_np(group, "ts")
+        val = _col_np(group, "value")
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val = uid[order], eid[order], val[order]
+        v = val * 100
+        # DuckDB round() is half-away-from-zero (np.rint is half-even)
         cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
-        cum = (pd.Series(cents).groupby(
-            group["user_id"].to_numpy(), sort=False).cumsum()
-            .to_numpy(np.int64))
-        return pd.DataFrame({
-            "event_id": group["event_id"].to_numpy(np.int64),
-            "user_id": group["user_id"].to_numpy(np.int64),
-            "cum_value_cents": cum,
+        # per-user cumsum = global cumsum minus the prefix total at each
+        # user-segment start (one pass, no per-user loop)
+        cum = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_base = np.r_[np.zeros(1, np.int64), cum[starts[1:] - 1]]
+        counts = np.diff(np.r_[starts, len(uid)])
+        cum -= np.repeat(seg_base, counts)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "cum_value_cents": pa.array(cum, pa.int64()),
         })
 
-    return _bucketed(ds).map_groups(running, batch_format="pandas")
+    return _bucketed(ds).map_groups(running, batch_format="pyarrow")
 
 
 RUNNING_TOTAL_SQL = """
@@ -333,28 +391,34 @@ def late_events(sf_dir: str):
         key = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
         return batch.append_column("arrival", pa.array(key, pa.string()))
 
-    def detect(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop(columns=["bucket"]).sort_values(
-            ["user_id", "arrival", "event_id"])
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        uid = g["user_id"].to_numpy(np.int64)
+    def detect(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        arr = _col_np(group, "arrival")
+        ts = _col_np(group, "ts").astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, arr, uid))
+        uid, eid, ts = uid[order], eid[order], ts[order]
+        n = len(uid)
+        if n == 0:
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table({"event_id": e, "user_id": e, "lateness_us": e})
+        first = np.r_[True, uid[1:] != uid[:-1]]
         # strict predecessor max within the user = running cummax shifted
-        # one row, masked at each user's first row
+        # one row, masked at each user's first row (pandas Series groupby
+        # over the already-extracted numpy columns — no block conversion)
         prev = np.roll(pd.Series(ts).groupby(uid, sort=False)
                        .cummax().to_numpy(np.int64), 1)
-        first = np.empty(len(g), dtype=bool)
-        first[0] = True
-        first[1:] = uid[1:] != uid[:-1]
         late = (~first) & (ts < prev)
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(np.int64)[late],
-            "user_id": uid[late],
-            "lateness_us": (prev - ts)[late].astype(np.int64),
+        return pa.table({
+            "event_id": pa.array(eid[late], pa.int64()),
+            "user_id": pa.array(uid[late], pa.int64()),
+            "lateness_us": pa.array((prev - ts)[late].astype(np.int64),
+                                    pa.int64()),
         })
 
     return _bucketed(
         ds.map_batches(arrival, batch_format="pyarrow")
-    ).map_groups(detect, batch_format="pandas")
+    ).map_groups(detect, batch_format="pyarrow")
 
 
 LATE_EVENTS_SQL = """
@@ -390,24 +454,30 @@ def event_sequences(sf_dir: str):
     ``user_sessions``. Oracle: string_agg ORDER BY (ts, event_id)."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
-    def build(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["user_id", "ts", "event_id"])
-        uid = g["user_id"].to_numpy(np.int64)
-        types = g["event_type"].to_numpy()
-        # user boundaries in the sorted frame → one python join per user
-        cut = np.nonzero(np.diff(uid))[0] + 1
-        starts = np.concatenate([[0], cut])
-        ends = np.concatenate([cut, [len(uid)]])
-        return pd.DataFrame({
-            "user_id": uid[starts],
-            "seq": [",".join(types[s:e]) for s, e in zip(starts, ends)],
-            "n_events": (ends - starts).astype(np.int64),
+    def build(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        ts = _col_np(group, "ts")
+        types = _col_np(group, "event_type")
+        order = np.lexsort((eid, ts, uid))
+        uid, types = uid[order], types[order]
+        if len(uid) == 0:
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table({"user_id": e, "seq": pa.array([], pa.string()),
+                             "n_events": e})
+        # user boundaries in the sorted stream → one python join per user
+        # (the string concat itself IS the computation here)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "seq": pa.array([",".join(types[s:e])
+                             for s, e in zip(starts, ends)], pa.string()),
+            "n_events": pa.array((ends - starts).astype(np.int64),
+                                 pa.int64()),
         })
 
-    return _bucketed(ds).map_groups(
-        lambda g: build(g.drop(columns=["bucket"])),
-        batch_format="pandas",
-    )
+    return _bucketed(ds).map_groups(build, batch_format="pyarrow")
 
 
 EVENT_SEQUENCES_SQL = """
@@ -491,33 +561,37 @@ def interval_join_events(sf_dir: str):
             "cents": pa.array(np.concatenate(out_cents), pa.int64()),
         })
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        ev = group[group["kind"] == 0]
-        w = group[group["kind"] == 1]
-        if len(ev) == 0 or len(w) == 0:
-            return pd.DataFrame({"win_id": pd.Series([], dtype="int64"),
-                                 "n": pd.Series([], dtype="int64"),
-                                 "cents": pd.Series([], dtype="int64")})
-        order = np.argsort(ev["ts_us"].to_numpy(np.int64), kind="stable")
-        ets = ev["ts_us"].to_numpy(np.int64)[order]
-        ecents = ev["cents"].to_numpy(np.int64)[order]
+    def match(group: pa.Table) -> pa.Table:
+        kind = _col_np(group, "kind")
+        ids = _col_np(group, "id")
+        ts_us = _col_np(group, "ts_us")
+        cents = _col_np(group, "cents")
+        evm = kind == 0
+        wm = ~evm
+        if not evm.any() or not wm.any():
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table({"win_id": e, "n": e, "cents": e})
+        order = np.argsort(ts_us[evm], kind="stable")
+        ets = ts_us[evm][order]
+        ecents = cents[evm][order]
         csum = np.concatenate([[0], np.cumsum(ecents)])
-        ws = w["ts_us"].to_numpy(np.int64)
+        ws = ts_us[wm]
         # events of THIS bucket inside [ws, ws+win): clamp to the bucket
         # is implicit — only this bucket's events are present
         lo = np.searchsorted(ets, ws, side="left")
         hi = np.searchsorted(ets, ws + win_us, side="left")
         n = (hi - lo).astype(np.int64)
         keep = n > 0
-        return pd.DataFrame({
-            "win_id": w["id"].to_numpy(np.int64)[keep],
-            "n": n[keep],
-            "cents": (csum[hi] - csum[lo])[keep],
+        return pa.table({
+            "win_id": pa.array(ids[wm][keep].astype(np.int64), pa.int64()),
+            "n": pa.array(n[keep], pa.int64()),
+            "cents": pa.array((csum[hi] - csum[lo])[keep].astype(np.int64),
+                              pa.int64()),
         })
 
     partials = (ds.map_batches(explode, batch_format="pyarrow")
                 .groupby("bucket")
-                .map_groups(match, batch_format="pandas"))
+                .map_groups(match, batch_format="pyarrow"))
     folded = partials.groupby("win_id").aggregate(
         Sum("n", alias_name="n_events"),
         Sum("cents", alias_name="sum_value_cents"),
@@ -600,29 +674,29 @@ def funnel_stages(sf_dir: str):
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
     deadlines_us = [m * 60 * 1_000_000 for m in FUNNEL_WINDOWS_MIN]
 
-    def scan(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["user_id", "ts", "event_id"])
-        uid = g["user_id"].to_numpy(np.int64)
-        et = g["event_type"].to_numpy()
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    def scan(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        et = _col_np(group, "event_type")
+        ts = _col_np(group, "ts").astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, et, ts = uid[order], et[order], ts[order]
         out_u, out_s = [], []
-        cut = np.nonzero(np.diff(uid))[0] + 1
-        starts = np.concatenate([[0], cut])
-        ends = np.concatenate([cut, [len(uid)]])
-        for s, e in zip(starts, ends):
-            stage = _funnel_user_stage(et[s:e], ts[s:e], deadlines_us)
-            if stage >= 1:
-                out_u.append(int(uid[s]))
-                out_s.append(stage)
-        return pd.DataFrame({
-            "user_id": pd.Series(out_u, dtype="int64"),
-            "stage": pd.Series(out_s, dtype="int64"),
+        if len(uid):
+            starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+            ends = np.r_[starts[1:], len(uid)]
+            # the three-probe forward scan per user IS the computation
+            for s, e in zip(starts, ends):
+                stage = _funnel_user_stage(et[s:e], ts[s:e], deadlines_us)
+                if stage >= 1:
+                    out_u.append(int(uid[s]))
+                    out_s.append(stage)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "stage": pa.array(out_s, pa.int64()),
         })
 
-    return _bucketed(ds).map_groups(
-        lambda g: scan(g.drop(columns=["bucket"])),
-        batch_format="pandas",
-    )
+    return _bucketed(ds).map_groups(scan, batch_format="pyarrow")
 
 
 FUNNEL_STAGES_SQL = f"""
@@ -683,32 +757,34 @@ def event_gaps(sf_dir: str):
     (user_id, n_gaps, sum_gap_us, max_gap_us, min_gap_us)."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id"])
 
-    def gaps(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.drop(columns=["bucket"]).sort_values(
-            ["user_id", "ts", "event_id"])
-        uid = group["user_id"].to_numpy(np.int64)
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    def gaps(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        ts = _col_np(group, "ts").astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
         d = np.diff(ts)
         # rows where the user changes carry a cross-user diff — mask out
         same = uid[1:] == uid[:-1]
-        out = {k: [] for k in ("user_id", "n_gaps", "sum_gap_us",
-                               "max_gap_us", "min_gap_us")}
-        # segment boundaries: positions where a new user starts
-        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        ends = np.r_[starts[1:], len(uid)]
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            g = d[s:e - 1]
-            assert same[s:e - 1].all()
-            out["user_id"].append(int(uid[s]))
-            out["n_gaps"].append(int(len(g)))
-            out["sum_gap_us"].append(int(g.sum()))
-            out["max_gap_us"].append(int(g.max()))
-            out["min_gap_us"].append(int(g.min()))
-        return pd.DataFrame(out).astype(np.int64)
+        gu, g = uid[1:][same], d[same]
+        if len(gu) == 0:
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table({"user_id": e, "n_gaps": e, "sum_gap_us": e,
+                             "max_gap_us": e, "min_gap_us": e})
+        # per-user segment reduce over the surviving gaps (gu is sorted)
+        starts = np.flatnonzero(np.r_[True, gu[1:] != gu[:-1]])
+        n = np.diff(np.r_[starts, len(gu)]).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(gu[starts], pa.int64()),
+            "n_gaps": pa.array(n, pa.int64()),
+            "sum_gap_us": pa.array(np.add.reduceat(g, starts), pa.int64()),
+            "max_gap_us": pa.array(np.maximum.reduceat(g, starts),
+                                   pa.int64()),
+            "min_gap_us": pa.array(np.minimum.reduceat(g, starts),
+                                   pa.int64()),
+        })
 
-    return _bucketed(ds).map_groups(gaps, batch_format="pandas")
+    return _bucketed(ds).map_groups(gaps, batch_format="pyarrow")
 
 
 EVENT_GAPS_SQL = """
@@ -747,28 +823,28 @@ def next_event_label(sf_dir: str):
     on the last event of a user."""
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
-    def label(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.drop(columns=["bucket"]).sort_values(
-            ["user_id", "ts", "event_id"])
-        uid = group["user_id"].to_numpy(np.int64)
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        et = group["event_type"].to_numpy(object)
-        nxt = np.empty(len(et), object)
+    def label(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        ts = _col_np(group, "ts").astype("datetime64[us]").astype(np.int64)
+        et = _col_np(group, "event_type")
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, ts, et = uid[order], eid[order], ts[order], et[order]
+        nxt = np.full(len(et), None, object)
         gap = np.full(len(et), -1, np.int64)
         if len(et) > 1:
             same = uid[1:] == uid[:-1]
             nxt[:-1] = np.where(same, et[1:], None)
             gap[:-1] = np.where(same, ts[1:] - ts[:-1], -1)
-        nxt[-1:] = None
-        return pd.DataFrame({
-            "event_id": group["event_id"].to_numpy(np.int64),
-            "user_id": uid,
-            "event_type": et,
-            "next_type": nxt,
-            "gap_us": gap,
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "next_type": pa.array(nxt, pa.string()),
+            "gap_us": pa.array(gap, pa.int64()),
         })
 
-    return _bucketed(ds).map_groups(label, batch_format="pandas")
+    return _bucketed(ds).map_groups(label, batch_format="pyarrow")
 
 
 NEXT_EVENT_LABEL_SQL = """
@@ -873,30 +949,41 @@ def ontime_hourly(sf_dir: str):
         key = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
         return batch.append_column("arrival", pa.array(key, pa.string()))
 
-    def ontime_partial(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop(columns=["bucket"]).sort_values(
-            ["user_id", "arrival", "event_id"])
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        uid = g["user_id"].to_numpy(np.int64)
+    def ontime_partial(group: pa.Table) -> pa.Table:
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        arr = _col_np(group, "arrival")
+        ts = _col_np(group, "ts").astype("datetime64[us]").astype(np.int64)
+        val = _col_np(group, "value")
+        order = np.lexsort((eid, arr, uid))
+        uid, ts, val = uid[order], ts[order], val[order]
+        if len(uid) == 0:
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table({"window_id": e, "n_events": e,
+                             "sum_value_cents": e})
         prev = np.roll(pd.Series(ts).groupby(uid, sort=False)
                        .cummax().to_numpy(np.int64), 1)
-        first = np.empty(len(g), dtype=bool)
-        first[0] = True
-        first[1:] = uid[1:] != uid[:-1]
+        first = np.r_[True, uid[1:] != uid[:-1]]
         ontime = first | (ts >= prev)
-        v = g["value"].to_numpy()[ontime] * 100
+        v = val[ontime] * 100
         cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         win = ts[ontime] // 3_600_000_000
-        out = pd.DataFrame({"window_id": win, "cents": cents})
-        part = (out.groupby("window_id", as_index=False)
-                .agg(n_events=("cents", "size"),
-                     sum_value_cents=("cents", "sum")))
-        part["n_events"] = part["n_events"].astype(np.int64)
-        return part
+        # per-window partial: sort by window, segment reduce
+        o2 = np.argsort(win, kind="stable")
+        win, cents = win[o2], cents[o2]
+        starts = np.flatnonzero(np.r_[True, win[1:] != win[:-1]])
+        return pa.table({
+            "window_id": pa.array(win[starts], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.r_[starts, len(win)]).astype(np.int64),
+                pa.int64()),
+            "sum_value_cents": pa.array(np.add.reduceat(cents, starts),
+                                        pa.int64()),
+        })
 
     partials = _bucketed(
         ds.map_batches(arrival, batch_format="pyarrow")
-    ).map_groups(ontime_partial, batch_format="pandas")
+    ).map_groups(ontime_partial, batch_format="pyarrow")
 
     return (
         partials.groupby("window_id")
@@ -945,32 +1032,47 @@ def top_events_per_user(sf_dir: str, k: int = TOPK_PER_USER):
     Output (user_id, rnk, event_id, value_cents)."""
     ds = _events(sf_dir, ["event_id", "user_id", "value"])
 
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy() * 100
-        df = df.assign(
-            value_cents=(np.sign(v) * np.floor(np.abs(v) + 0.5))
-            .astype(np.int64)).drop(columns=["value"])
-        df = df.sort_values(["user_id", "value_cents", "event_id"],
-                            ascending=[True, False, True], kind="mergesort")
-        return df.groupby("user_id", sort=False).head(k)
+    def _rank_in_user(uid, cents, eid):
+        """Sort by (user, cents DESC, event_id ASC) and return
+        (order, 0-based rank within user)."""
+        order = np.lexsort((eid, -cents, uid))
+        us = uid[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        counts = np.diff(np.r_[starts, len(us)])
+        pos = np.arange(len(us), dtype=np.int64) - np.repeat(starts, counts)
+        return order, pos
 
-    partial = ds.map_batches(topk, batch_format="pandas")
-
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop(columns=["bucket"])
-        # partials already carry value_cents — re-apply selection only
-        g = g.sort_values(["user_id", "value_cents", "event_id"],
-                          ascending=[True, False, True], kind="mergesort")
-        g = g.groupby("user_id", sort=False).head(k)
-        rnk = g.groupby("user_id", sort=False).cumcount() + 1
-        return pd.DataFrame({
-            "user_id": g["user_id"].to_numpy(np.int64),
-            "rnk": rnk.to_numpy(np.int64),
-            "event_id": g["event_id"].to_numpy(np.int64),
-            "value_cents": g["value_cents"].to_numpy(np.int64),
+    def topk(batch: pa.Table) -> pa.Table:
+        uid = _col_np(batch, "user_id")
+        eid = _col_np(batch, "event_id")
+        v = _col_np(batch, "value") * 100
+        cents = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        order, pos = _rank_in_user(uid, cents, eid)
+        keep = order[pos < k]
+        return pa.table({
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "value_cents": pa.array(cents[keep], pa.int64()),
         })
 
-    return _bucketed(partial).map_groups(resolve, batch_format="pandas")
+    partial = ds.map_batches(topk, batch_format="pyarrow")
+
+    def resolve(group: pa.Table) -> pa.Table:
+        # partials already carry value_cents — re-apply selection only
+        uid = _col_np(group, "user_id")
+        eid = _col_np(group, "event_id")
+        cents = _col_np(group, "value_cents")
+        order, pos = _rank_in_user(uid, cents, eid)
+        m = pos < k
+        keep = order[m]
+        return pa.table({
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "rnk": pa.array(pos[m] + 1, pa.int64()),
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "value_cents": pa.array(cents[keep], pa.int64()),
+        })
+
+    return _bucketed(partial).map_groups(resolve, batch_format="pyarrow")
 
 
 TOP_EVENTS_PER_USER_SQL = f"""
