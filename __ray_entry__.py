@@ -600,13 +600,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_agg", "approx_event_quantiles",
         "bloom_membership", "cms_user_counts", "kmeans_assign",
         "kmeans_train", "compression_quality", "pack_sequences",
-        # -- round-4 green fill (re-verification) --
-        "headers_roundtrip", "crawl_consolidation_pipeline",
-        "web_corpus_pipeline", "resumable_write_roundtrip",
-        "click_purchase_matrix", "domain_stats", "doc_repetition",
-        "top_events_per_user", "partition_manifest", "dedup_exact",
-        "dedup_keep_best", "jaccard_pairs", "fuzzy_name_pairs",
-        "dup_span_stats",
+        # -- plans changed late in round 5 (pyarrow-native reducers in
+        # joins.py + windows.py — Acero in-group joins, numpy segment
+        # kernels) and flagship fill: re-verify under the driver --
+        "headers_roundtrip", "web_corpus_pipeline",
+        "click_purchase_matrix", "customer_order_counts",
+        "referential_integrity", "region_brand_revenue",
+        "q3_shipping_priority", "user_sessions", "purchase_attribution",
+        "top_events_per_user", "latest_event_per_user",
+        "user_running_total", "event_gaps",
     ]
     missing = [k for k in prefix if k not in reg]
     assert not missing, f"rotation prefix names unknown ops: {missing}"
