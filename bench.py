@@ -244,11 +244,12 @@ def _headline_subprocess(num_cpus: int, passes: int = 1) -> dict:
 
 
 _CEILING_WORKER = r'''
-import time, json
+import os, time, json
 from pd3f_ray.sources.synth import build_layout
 from pd3f_ray.core.kernel import extract_record
 from pd3f_ray.core.config import ExtractOptions
 from pd3f_ray.core.scorer import get_scorer
+n_docs = int(os.environ.get("GRAFT_CEILING_DOCS", "300"))
 docs = []
 for i in range(300):
     layout, lang = build_layout(i)
@@ -257,21 +258,30 @@ base = ExtractOptions.experimental()
 for p, l in docs[:30]:
     extract_record(p, base.with_(lang=l), scorer=get_scorer(l))
 t0 = time.perf_counter()
-for p, l in docs:
+done = 0
+while done < n_docs:
+    p, l = docs[done % len(docs)]
     extract_record(p, base if base.lang == l else base.with_(lang=l),
                    scorer=get_scorer(l))
-print((time.perf_counter() - t0) / len(docs) * 1000)
+    done += 1
+print((time.perf_counter() - t0) / n_docs * 1000)
 '''
 
 
-def _percore_ms(n_procs: int) -> float:
+def _percore_ms(n_procs: int, n_docs: int = 300) -> float:
     """Identical single-threaded kernel work in n parallel processes (no
     Ray): mean per-doc ms. Quantifies the box's all-core frequency /
     memory-bandwidth slowdown, which a real N→4N *node* scale-out does
-    not see."""
+    not see. For the CEILING measurement pass n_docs ≥ 2000 so the
+    timed windows of all n processes genuinely overlap (at 300 docs the
+    ~0.5 s import skew between processes exceeds the ~0.2 s timed loop
+    and contention is under-measured — observed hw_ceiling 0.98 from
+    the short probe vs 0.89 per-core at 16-way from a long-exposure
+    run of the same kernel)."""
+    env = dict(os.environ, GRAFT_CEILING_DOCS=str(n_docs))
     procs = [
         subprocess.Popen([sys.executable, "-c", _CEILING_WORKER],
-                         stdout=subprocess.PIPE, text=True)
+                         stdout=subprocess.PIPE, text=True, env=env)
         for _ in range(n_procs)
     ]
     vals = [float(p.communicate()[0].strip().splitlines()[-1]) for p in procs]
@@ -304,9 +314,11 @@ def main_scaling():
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     # hardware strong-scaling ceiling of this single box: per-core
     # slowdown of identical work at hi-way vs lo-way parallelism
-    ms_lo = _percore_ms(lo)
-    ms_hi = _percore_ms(hi)
-    ms_lo, ms_hi = min(ms_lo, _percore_ms(lo)), min(ms_hi, _percore_ms(hi))
+    ceiling_docs = int(os.environ.get("GRAFT_CEILING_DOCS", "2500"))
+    ms_lo = _percore_ms(lo, ceiling_docs)
+    ms_hi = _percore_ms(hi, ceiling_docs)
+    ms_lo, ms_hi = (min(ms_lo, _percore_ms(lo, ceiling_docs)),
+                    min(ms_hi, _percore_ms(hi, ceiling_docs)))
     ceiling = ms_lo / ms_hi if ms_hi > 0 else 1.0
     print(json.dumps({
         "metric": "scaling efficiency (fresh sessions, same input, "

@@ -248,12 +248,14 @@ def training_prep_pipeline(sf_dir: str, size: int = CHUNK_SIZE,
             "dbucket": pa.array(np.asarray(out_b, np.int64), pa.int64()),
         })
 
-    import pandas as pd
-
-    def first_per_digest(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["digest", "doc_id"], kind="mergesort")
-        g = g[~g["digest"].duplicated(keep="first")]
-        return g[["doc_id", "text"]]
+    def first_per_digest(group: pa.Table) -> pa.Table:
+        dig = group.column("digest").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, dig))
+        keep = order[np.r_[True, dig[order][1:] != dig[order][:-1]]] \
+            if len(dig) else order
+        return group.select(["doc_id", "text"]).take(
+            pa.array(np.sort(keep)))
 
     def chunk_encode(batch: pa.Table) -> pa.Table:
         vocab = ray.get(vocab_ref)
@@ -279,8 +281,7 @@ def training_prep_pipeline(sf_dir: str, size: int = CHUNK_SIZE,
     return (_docs(sf_dir, ["doc_id", "text"])
             .map_batches(gate, batch_format="pyarrow")
             .groupby("dbucket")
-            .map_groups(lambda g: first_per_digest(g.drop(columns=["dbucket"])),
-                        batch_format="pandas")
+            .map_groups(first_per_digest, batch_format="pyarrow")
             .map_batches(chunk_encode, batch_format="pyarrow"))
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -86,16 +87,20 @@ def curate_docs(sf_dir: str, num_buckets: int = DEDUP_BUCKETS):
             }
         )
 
-    def pick_first(group: pd.DataFrame) -> pd.DataFrame:
-        g = (group.sort_values(["text_hash", "doc_id"], kind="mergesort")
-             .drop_duplicates("text_hash", keep="first"))
-        return g[["doc_id", "lang", "n_chars", "n_tokens"]]
+    def pick_first(group: pa.Table) -> pa.Table:
+        th = group.column("text_hash").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, th))
+        keep = order[np.r_[True, th[order][1:] != th[order][:-1]]] \
+            if len(th) else order
+        return group.select(["doc_id", "lang", "n_chars", "n_tokens"]).take(
+            pa.array(np.sort(keep)))
 
     return (
         _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
         .map_batches(digest_quality, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pick_first, batch_format="pandas")
+        .map_groups(pick_first, batch_format="pyarrow")
     )
 
 
@@ -308,28 +313,38 @@ def snapshot_diff(sf_dir: str, num_buckets: int = DIFF_BUCKETS):
             "bucket": pa.array(arr % num_buckets, pa.int64()),
         })
 
-    def diff(group: pd.DataFrame) -> pd.DataFrame:
-        old = group[group["side"] == 0][["doc_id", "dig"]]
-        new = group[group["side"] == 1][["doc_id", "dig"]]
-        m = old.merge(new, on="doc_id", how="outer",
-                      suffixes=("_o", "_n"), indicator=True)
-        status = pd.Series(
-            pd.NA, index=m.index, dtype="string")
-        status[m["_merge"] == "right_only"] = "added"
-        status[m["_merge"] == "left_only"] = "removed"
-        both = m["_merge"] == "both"
-        status[both & (m["dig_o"] != m["dig_n"])] = "changed"
-        keep = status.notna()
-        return pd.DataFrame({
-            "doc_id": m["doc_id"][keep].astype("int64"),
-            "status": status[keep].astype(object),
+    def diff(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        dig = group.column("dig").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        if len(did) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "status": pa.array([], pa.string())})
+        # a doc_id appears once (old-only / new-only) or twice (old row
+        # then new row after the sort) — classify per segment, vectorized
+        order = np.lexsort((side, did))
+        did, dig, side = did[order], dig[order], side[order]
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        counts = np.diff(np.r_[starts, len(did)])
+        one = counts == 1
+        s1 = starts[one]
+        st1 = np.where(side[s1] == 0, "removed", "added")
+        s2 = starts[~one]
+        changed = dig[s2] != dig[s2 + 1]
+        out_id = np.concatenate([did[s1], did[s2[changed]]])
+        out_st = np.concatenate([st1, np.full(int(changed.sum()),
+                                              "changed", object)])
+        return pa.table({
+            "doc_id": pa.array(out_id.astype(np.int64), pa.int64()),
+            "status": pa.array(out_st.astype(object), pa.string()),
         })
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     return (ds.map_batches(derive, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(lambda g: diff(g.drop(columns=["bucket"])),
-                        batch_format="pandas"))
+            .map_groups(diff, batch_format="pyarrow"))
 
 
 SNAPSHOT_DIFF_SQL = f"""

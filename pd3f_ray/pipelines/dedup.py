@@ -144,6 +144,23 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([native, ghosts])
 
 
+def _banded_group_cols(group: pa.Table):
+    """(ids, chars, texts, native) of a length-band group, sorted by
+    (n_chars, doc_id) — the shared pyarrow-native entry of the banded
+    pair scanners (zero-copy group slice in, no pandas block)."""
+    did = group.column("doc_id").to_numpy(zero_copy_only=False)
+    chars = group.column("n_chars").to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, chars))
+    texts = group.column("text").to_numpy(zero_copy_only=False)[order]
+    native = group.column("native").to_numpy(zero_copy_only=False)[order]
+    return did[order], chars[order], texts, native
+
+
+def _pairs_table(out_a: list, out_b: list) -> pa.Table:
+    return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                     "id_b": pa.array(out_b, pa.int64())})
+
+
 def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     """Same-language document pairs within ±CHAR_BAND chars of each other
     whose byte-set Jaccard exceeds the threshold.
@@ -164,13 +181,8 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
     """
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
 
-    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((group["doc_id"].to_numpy(),
-                            group["n_chars"].to_numpy()))
-        ids = group["doc_id"].to_numpy()[order]
-        chars = group["n_chars"].to_numpy()[order]
-        texts = group["text"].to_numpy()[order]
-        native = group["native"].to_numpy()[order]
+    def block_pairs(group: pa.Table) -> pa.Table:
+        ids, chars, texts, native = _banded_group_cols(group)
         masks = masks_for(list(texts))
         from pd3f_ray.functions.textfns import popcount64
 
@@ -194,13 +206,12 @@ def jaccard_pairs(sf_dir: str, threshold: float = JACCARD_THRESHOLD):
                 a, b = ids[i], ids[i + 1 + h]
                 out_a.append(min(a, b))
                 out_b.append(max(a, b))
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                             "id_b": pd.Series(out_b, dtype="int64")})
+        return _pairs_table(out_a, out_b)
 
     return (
         ds.map_batches(_band_rows, batch_format="pyarrow")
         .groupby(["lang", "band"])
-        .map_groups(block_pairs, batch_format="pandas")
+        .map_groups(block_pairs, batch_format="pyarrow")
     )
 
 
@@ -231,13 +242,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = NGRAM_THRESHOLD,
     substr(text, i, 3) per doc, intersection counts via self-join)."""
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
 
-    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((group["doc_id"].to_numpy(),
-                            group["n_chars"].to_numpy()))
-        ids = group["doc_id"].to_numpy()[order]
-        chars = group["n_chars"].to_numpy()[order]
-        texts = group["text"].to_numpy()[order]
-        native = group["native"].to_numpy()[order]
+    def block_pairs(group: pa.Table) -> pa.Table:
+        ids, chars, texts, native = _banded_group_cols(group)
         grams = [frozenset(t[i:i + n] for i in range(len(t) - n + 1))
                  for t in texts]
         out_a, out_b = [], []
@@ -255,13 +261,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = NGRAM_THRESHOLD,
                     out_a.append(min(a, b))
                     out_b.append(max(a, b))
                 j += 1
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                             "id_b": pd.Series(out_b, dtype="int64")})
+        return _pairs_table(out_a, out_b)
 
     return (
         ds.map_batches(_band_rows, batch_format="pyarrow")
         .groupby(["lang", "band"])
-        .map_groups(block_pairs, batch_format="pandas")
+        .map_groups(block_pairs, batch_format="pyarrow")
     )
 
 
@@ -370,25 +375,34 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        bid = group.column("band_id").to_numpy(zero_copy_only=False)
+        bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(did) == 0:
+            return _pairs_table([], [])
+        order = np.lexsort((did, bh, bid))
+        bid, bh, did = bid[order], bh[order], did[order]
+        starts = np.flatnonzero(np.r_[True, (bid[1:] != bid[:-1])
+                                      | (bh[1:] != bh[:-1])])
+        ends = np.r_[starts[1:], len(did)]
         out_a: list[int] = []
         out_b: list[int] = []
-        for _, sub in group.groupby(["band_id", "band_hash"], sort=False):
-            if len(sub) < 2:
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            ids = np.unique(sub["doc_id"].to_numpy())
+            ids = np.unique(did[s:e])
             if len(ids) < 2:
                 continue
             ii, jj = np.triu_indices(len(ids), k=1)
             out_a.extend(ids[ii].tolist())
             out_b.extend(ids[jj].tolist())
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                             "id_b": pd.Series(out_b, dtype="int64")})
+        return _pairs_table(out_a, out_b)
 
     candidates = (
         ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
     # a pair can collide in multiple bands; the verify groups dedup
@@ -438,10 +452,10 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
             "pbucket", pa.array(_stable_bucket(a, 128), pa.int32())
         )
 
-    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
-        texts: dict[int, str] = dict(
-            zip(group["join_id"].astype("int64"), group["text"])
-        )
+    def verify_group(group: pa.Table) -> pa.Table:
+        jid = group.column("join_id").to_numpy(zero_copy_only=False)
+        gtexts = group.column("text").to_numpy(zero_copy_only=False)
+        texts: dict[int, str] = dict(zip(jid.tolist(), gtexts))
         shingle_cache: dict[int, set] = {}
 
         def sh(did: int) -> set:
@@ -451,29 +465,31 @@ def minhash_pairs(sf_dir: str, threshold: float = VERIFY_THRESHOLD):
                 shingle_cache[did] = s
             return s
 
-        uniq = group[["id_a", "id_b"]].drop_duplicates()
+        pa_ = group.column("id_a").to_numpy(zero_copy_only=False)
+        pb_ = group.column("id_b").to_numpy(zero_copy_only=False)
         id_a, id_b, sims = [], [], []
-        for a, b in zip(uniq["id_a"].astype("int64"),
-                        uniq["id_b"].astype("int64")):
-            sa, sb = sh(int(a)), sh(int(b))
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            if j >= threshold:
-                id_a.append(int(a))
-                id_b.append(int(b))
-                sims.append(int(round(j, 6) * 1e6))
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(id_a, dtype="int64"),
-                "id_b": pd.Series(id_b, dtype="int64"),
-                "jaccard_x1e6": pd.Series(sims, dtype="int64"),
-            }
-        )
+        if len(pa_):
+            order = np.lexsort((pb_, pa_))
+            a_s, b_s = pa_[order], pb_[order]
+            uniq = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+            for a, b in zip(a_s[uniq], b_s[uniq]):
+                sa, sb = sh(int(a)), sh(int(b))
+                union = len(sa | sb)
+                j = len(sa & sb) / union if union else 0.0
+                if j >= threshold:
+                    id_a.append(int(a))
+                    id_b.append(int(b))
+                    sims.append(int(round(j, 6) * 1e6))
+        return pa.table({
+            "id_a": pa.array(id_a, pa.int64()),
+            "id_b": pa.array(id_b, pa.int64()),
+            "jaccard_x1e6": pa.array(sims, pa.int64()),
+        })
 
     return (
         with_text.map_batches(pair_bucket, batch_format="pyarrow")
         .groupby("pbucket")
-        .map_groups(verify_group, batch_format="pandas")
+        .map_groups(verify_group, batch_format="pyarrow")
     )
 
 
@@ -627,9 +643,16 @@ def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
             }))
         return pa.concat_tables(parts)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["vec_id"].to_numpy().astype(np.int64)
-        m = np.array(group["embedding"].tolist(), dtype=np.float64)
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return _pairs_table([], [])
+        # flatten the fixed-width list column straight to numpy — no
+        # per-row Python list materialization
+        emb = group.column("embedding").combine_chunks()
+        m = emb.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(ids), -1).astype(np.float64)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
         nm = m / n
@@ -639,13 +662,13 @@ def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
         )
         a = np.minimum(ids[hit_i], ids[hit_j])
         b = np.maximum(ids[hit_i], ids[hit_j])
-        return pd.DataFrame({"id_a": pd.Series(a, dtype="int64"),
-                             "id_b": pd.Series(b, dtype="int64")})
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
 
     found = (
         ds.map_batches(tag_tables, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     # dedup pairs discovered by several tables
     deduped = found.groupby(["id_a", "id_b"]).aggregate(
@@ -1013,31 +1036,40 @@ def simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
             }))
         return pa.concat_tables(parts)
 
-    def group_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def group_pairs(group: pa.Table) -> pa.Table:
         from pd3f_ray.functions.textfns import popcount64
 
+        bk = group.column("band_key").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sh_ = group.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
         out_a, out_b, out_h = [], [], []
-        for _, sub in group.groupby("band_key", sort=False):
-            ids = sub["doc_id"].to_numpy().astype(np.int64)
-            fp = sub["simhash"].to_numpy().astype(np.uint64)
-            _, first = np.unique(ids, return_index=True)
-            ids, fp = ids[first], fp[first]
-            if len(ids) < 2:
-                continue
-            x = (fp[:, None] ^ fp[None, :]).reshape(-1, 1)
-            ham = popcount64(x).sum(axis=1).reshape(len(ids), len(ids))
-            ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
-            out_a.extend(np.minimum(ids[ii], ids[jj]).tolist())
-            out_b.extend(np.maximum(ids[ii], ids[jj]).tolist())
-            out_h.extend(ham[ii, jj].astype(np.int64).tolist())
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                             "id_b": pd.Series(out_b, dtype="int64"),
-                             "hamming": pd.Series(out_h, dtype="int64")})
+        if len(bk):
+            order = np.lexsort((did, bk))
+            bk, did, sh_ = bk[order], did[order], sh_[order]
+            starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+            ends = np.r_[starts[1:], len(bk)]
+            for s, e in zip(starts, ends):
+                ids, fp = did[s:e], sh_[s:e]
+                _, first = np.unique(ids, return_index=True)
+                ids, fp = ids[first], fp[first]
+                if len(ids) < 2:
+                    continue
+                x = (fp[:, None] ^ fp[None, :]).reshape(-1, 1)
+                ham = popcount64(x).sum(axis=1).reshape(len(ids), len(ids))
+                ii, jj = np.nonzero(np.triu(ham <= max_hamming, k=1))
+                out_a.extend(np.minimum(ids[ii], ids[jj]).tolist())
+                out_b.extend(np.maximum(ids[ii], ids[jj]).tolist())
+                out_h.extend(ham[ii, jj].astype(np.int64).tolist())
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_h, pa.int64())})
 
     found = (
         fps.map_batches(band_rows, batch_format="pyarrow")
         .groupby("gkey")
-        .map_groups(group_pairs, batch_format="pandas")
+        .map_groups(group_pairs, batch_format="pyarrow")
     )
     return found.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming")
@@ -1081,22 +1113,31 @@ def dedup_incremental(sf_dir: str, num_buckets: int = INCR_BUCKETS):
                                 pa.int32()),
         })
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        state = set(group.loc[group["is_state"], "text_hash"])
-        new = group[~group["is_state"]]
-        new = new[~new["text_hash"].isin(state)]
-        keep = (new.sort_values(["text_hash", "doc_id"])
-                .drop_duplicates("text_hash", keep="first"))
-        return pd.DataFrame({
-            "doc_id": keep["doc_id"].to_numpy(np.int64),
-            "text_hash": keep["text_hash"].to_numpy(object),
+    def fold(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_state = group.column("is_state")
+        state = group.filter(is_state).column("text_hash").combine_chunks()
+        new = group.filter(pc.invert(is_state))
+        new = new.filter(pc.invert(
+            pc.is_in(new.column("text_hash"), value_set=state)))
+        th = new.column("text_hash").to_numpy(zero_copy_only=False)
+        did = new.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(th) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text_hash": pa.array([], pa.string())})
+        order = np.lexsort((did, th))
+        th, did = th[order], did[order]
+        keep = np.r_[True, th[1:] != th[:-1]]
+        return pa.table({
+            "doc_id": pa.array(did[keep].astype(np.int64), pa.int64()),
+            "text_hash": pa.array(th[keep], pa.string()),
         })
 
     return (
         ds.map_batches(digest_sides, batch_format="pyarrow")
         .groupby("hbucket")
-        .map_groups(lambda g: fold(g.drop(columns=["hbucket"])),
-                    batch_format="pandas")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
@@ -1272,12 +1313,12 @@ def fuzzy_name_pairs(sf_dir: str, max_dist: int = EDIT_MAX):
             "native", pa.array(np.zeros(int(ghost_mask.sum()), bool)))
         return pa.concat_tables([native, ghosts])
 
-    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((group["p_name"].to_numpy(),
-                            group["len"].to_numpy()))
-        nm = group["p_name"].to_numpy()[order]
-        ln = group["len"].to_numpy()[order]
-        native = group["native"].to_numpy()[order]
+    def block_pairs(group: pa.Table) -> pa.Table:
+        nm = group.column("p_name").to_numpy(zero_copy_only=False)
+        ln = group.column("len").to_numpy(zero_copy_only=False)
+        native = group.column("native").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nm, ln))
+        nm, ln, native = nm[order], ln[order], native[order]
         out_a, out_b, out_d = [], [], []
         n = len(nm)
         for i in range(n):
@@ -1292,14 +1333,14 @@ def fuzzy_name_pairs(sf_dir: str, max_dist: int = EDIT_MAX):
                     out_a.append(a)
                     out_b.append(b)
                     out_d.append(d)
-        return pd.DataFrame({"name_a": pd.Series(out_a, dtype=object),
-                             "name_b": pd.Series(out_b, dtype=object),
-                             "dist": pd.Series(out_d, dtype="int64")})
+        return pa.table({"name_a": pa.array(out_a, pa.string()),
+                         "name_b": pa.array(out_b, pa.string()),
+                         "dist": pa.array(out_d, pa.int64())})
 
     return (
         names.map_batches(band_rows, batch_format="pyarrow")
         .groupby("band")
-        .map_groups(block_pairs, batch_format="pandas")
+        .map_groups(block_pairs, batch_format="pyarrow")
     )
 
 

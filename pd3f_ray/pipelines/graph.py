@@ -78,20 +78,29 @@ def _edges_with_outdeg(sf_dir: str):
                                 pa.int32()),
         })
 
-    def dedup_and_degree(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["src", "dst"])
-        deg = g.groupby("src", sort=False)["dst"].transform("size")
-        return pd.DataFrame({
-            "src": g["src"].to_numpy(np.int64),
-            "dst": g["dst"].to_numpy(np.int64),
-            "outdeg": deg.to_numpy(np.int64),
+    def dedup_and_degree(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table({"src": e, "dst": e, "outdeg": e})
+        order = np.lexsort((dst, src))
+        s, d = src[order], dst[order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        s, d = s[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        counts = np.diff(np.r_[starts, len(s)])
+        return pa.table({
+            "src": pa.array(s.astype(np.int64), pa.int64()),
+            "dst": pa.array(d.astype(np.int64), pa.int64()),
+            "outdeg": pa.array(np.repeat(counts, counts).astype(np.int64),
+                               pa.int64()),
         })
 
     return (
         pairs.map_batches(symmetrize, batch_format="pyarrow")
         .groupby("gbucket")
-        .map_groups(lambda g: dedup_and_degree(g.drop(columns=["gbucket"])),
-                    batch_format="pandas")
+        .map_groups(dedup_and_degree, batch_format="pyarrow")
         .materialize()
     )
 
@@ -200,11 +209,12 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
                                 pa.int32()),
         })
 
-    def nodes_unique(group: pd.DataFrame) -> pd.DataFrame:
-        n = np.unique(group["node"].to_numpy(np.int64))
-        return pd.DataFrame({
-            "node": n,
-            "rank": np.full(len(n), PR_RANK0, dtype=np.int64),
+    def nodes_unique(group: pa.Table) -> pa.Table:
+        n = np.unique(group.column("node").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "node": pa.array(n.astype(np.int64), pa.int64()),
+            "rank": pa.array(np.full(len(n), PR_RANK0, dtype=np.int64),
+                             pa.int64()),
         })
 
     start_iter = 0
@@ -222,8 +232,7 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
         ranks = (
             edges.map_batches(block_nodes, batch_format="pyarrow")
             .groupby("nbucket")
-            .map_groups(lambda g: nodes_unique(g.drop(columns=["nbucket"])),
-                        batch_format="pandas")
+            .map_groups(nodes_unique, batch_format="pyarrow")
             .materialize()
         )
     ranks_schema = pa.schema([("node", pa.int64()), ("rank", pa.int64())])
@@ -242,13 +251,21 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
                                 pa.int32()),
         })
 
-    def rank_update(group: pd.DataFrame) -> pd.DataFrame:
-        s = group.groupby("dst", sort=False)["contrib"].sum()
-        return pd.DataFrame({
-            "node": s.index.to_numpy(np.int64),
-            "rank": (PR_BASE
-                     + (PR_DAMP_NUM * s.to_numpy(np.int64))
-                     // PR_DAMP_DEN).astype(np.int64),
+    def rank_update(group: pa.Table) -> pa.Table:
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        contrib = group.column("contrib").to_numpy(zero_copy_only=False)
+        if len(dst) == 0:
+            e = pa.array(np.empty(0, np.int64), pa.int64())
+            return pa.table({"node": e, "rank": e})
+        order = np.argsort(dst, kind="stable")
+        dst, contrib = dst[order], contrib[order]
+        starts = np.flatnonzero(np.r_[True, dst[1:] != dst[:-1]])
+        s = np.add.reduceat(contrib, starts)
+        return pa.table({
+            "node": pa.array(dst[starts].astype(np.int64), pa.int64()),
+            "rank": pa.array(
+                (PR_BASE + (PR_DAMP_NUM * s.astype(np.int64))
+                 // PR_DAMP_DEN).astype(np.int64), pa.int64()),
         })
 
     for it in range(start_iter, iters):
@@ -290,8 +307,7 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
 
         ranks = (
             stream.groupby("nbucket")
-            .map_groups(lambda g: rank_update(g.drop(columns=["nbucket"])),
-                        batch_format="pandas")
+            .map_groups(rank_update, batch_format="pyarrow")
             .materialize()
         )
         if checkpoint_dir:

@@ -103,27 +103,35 @@ def token_postings(sf_dir: str, k: int = POSTINGS_K,
             "ibucket": pa.array(h % num_buckets, pa.int64()),
         })
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+    def resolve(group: pa.Table) -> pa.Table:
+        tok = group.column("token").to_numpy(zero_copy_only=False)
+        dfp = group.column("df_part").to_numpy(zero_copy_only=False)
+        csvs = group.column("ids_csv").to_numpy(zero_copy_only=False)
         out_t, out_df, out_p = [], [], []
-        for tok, sub in group.groupby("token", sort=False):
-            merged: list[int] = []
-            for csv in sub["ids_csv"]:
-                merged.extend(int(x) for x in csv.split(","))
-            merged.sort()
-            out_t.append(tok)
-            out_df.append(int(sub["df_part"].sum()))
-            out_p.append(",".join(map(str, merged[:k])))
-        return pd.DataFrame({
-            "token": pd.Series(out_t, dtype=object),
-            "df": pd.Series(out_df, dtype="int64"),
-            "postings": pd.Series(out_p, dtype=object),
+        if len(tok):
+            order = np.argsort(tok, kind="stable")
+            tok, dfp, csvs = tok[order], dfp[order], csvs[order]
+            starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+            ends = np.r_[starts[1:], len(tok)]
+            for s, e in zip(starts, ends):
+                merged: list[int] = []
+                for csv in csvs[s:e]:
+                    merged.extend(int(x) for x in csv.split(","))
+                merged.sort()
+                out_t.append(tok[s])
+                out_df.append(int(dfp[s:e].sum()))
+                out_p.append(",".join(map(str, merged[:k])))
+        return pa.table({
+            "token": pa.array(out_t, pa.string()),
+            "df": pa.array(out_df, pa.int64()),
+            "postings": pa.array(out_p, pa.string()),
         })
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     return (
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby("ibucket")
-        .map_groups(resolve, batch_format="pandas")
+        .map_groups(resolve, batch_format="pyarrow")
     )
 
 
@@ -182,7 +190,7 @@ def _df_table(sf_dir: str):
 
 
 def _topk_frame(doc_ids, toks, tfs, dfs, n_docs: int, k: int
-                ) -> pd.DataFrame:
+                ) -> pa.Table:
     rows = sorted(
         zip(doc_ids, toks, tfs, dfs),
         key=lambda r: (r[0], -_score_micros(r[2], r[3], n_docs), r[1]),
@@ -200,12 +208,12 @@ def _topk_frame(doc_ids, toks, tfs, dfs, n_docs: int, k: int
             out["tf"].append(tf)
             out["df"].append(df)
             out["score_micros"].append(_score_micros(tf, df, n_docs))
-    return pd.DataFrame({
-        "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-        "token": pd.Series(out["token"], dtype=object),
-        "tf": pd.Series(out["tf"], dtype="int64"),
-        "df": pd.Series(out["df"], dtype="int64"),
-        "score_micros": pd.Series(out["score_micros"], dtype="int64"),
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.int64()),
+        "token": pa.array(out["token"], pa.string()),
+        "tf": pa.array(out["tf"], pa.int64()),
+        "df": pa.array(out["df"], pa.int64()),
+        "score_micros": pa.array(out["score_micros"], pa.int64()),
     })
 
 
@@ -241,9 +249,7 @@ def tfidf_terms(sf_dir: str, k: int = TFIDF_K,
                     toks.append(tok)
                     tfs.append(tf)
                     dfs.append(dfm[tok])
-            return pa.Table.from_pandas(
-                _topk_frame(doc_ids, toks, tfs, dfs, n_docs, k),
-                preserve_index=False)
+            return _topk_frame(doc_ids, toks, tfs, dfs, n_docs, k)
 
         return _docs(sf_dir, ["doc_id", "text"]).map_batches(
             score, batch_format="pyarrow")
@@ -287,18 +293,18 @@ def tfidf_terms(sf_dir: str, k: int = TFIDF_K,
         return batch.append_column(
             "tbucket", pa.array((did % DOC_BUCKETS).astype(np.int64)))
 
-    def group_topk(group: pd.DataFrame) -> pd.DataFrame:
+    def group_topk(group: pa.Table) -> pa.Table:
         return _topk_frame(
-            group["doc_id"].to_numpy(np.int64).tolist(),
-            group["token"].tolist(),
-            group["tf"].to_numpy(np.int64).tolist(),
-            group["df"].to_numpy(np.int64).tolist(),
+            group.column("doc_id").to_pylist(),
+            group.column("token").to_pylist(),
+            group.column("tf").to_pylist(),
+            group.column("df").to_pylist(),
             n_docs, k)
 
     return (
         joined.map_batches(add_dbucket, batch_format="pyarrow")
         .groupby("tbucket")
-        .map_groups(group_topk, batch_format="pandas")
+        .map_groups(group_topk, batch_format="pyarrow")
     )
 
 

@@ -614,13 +614,19 @@ def click_purchase_matrix(sf_dir: str, num_buckets: int = 32):
 
     # The nullable count columns must ship in the ORACLE-STABLE dtype:
     # DuckDB's .df() renders a nullable BIGINT as float64 with NaN, while
-    # the join's pandas blocks carry pandas-nullable Int64 — value-equal
-    # but hash-DIFFERENT once serialized (r03 driver: rows/schema match,
-    # hash mismatch). Cast to float64/NaN so both sides serialize alike.
-    def to_oracle_dtype(df: pd.DataFrame) -> pd.DataFrame:
-        return df.astype({"n_clicks": "float64", "n_purchases": "float64"})
+    # nullable int64 Arrow blocks can surface as pandas Int64 — value-
+    # equal but hash-DIFFERENT once serialized (r03 driver: rows/schema
+    # match, hash mismatch). Cast to float64/null so both sides
+    # serialize alike (→ float64/NaN in pandas).
+    def to_oracle_dtype(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "n_clicks": pc.cast(batch.column("n_clicks"), pa.float64()),
+            "n_purchases": pc.cast(batch.column("n_purchases"),
+                                   pa.float64()),
+        })
 
-    return joined.map_batches(to_oracle_dtype, batch_format="pandas")
+    return joined.map_batches(to_oracle_dtype, batch_format="pyarrow")
 
 
 CLICK_PURCHASE_MATRIX_SQL = """

@@ -362,22 +362,26 @@ def event_value_quantiles(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def per_type(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("cents")
-        counts = g["n"].to_numpy(np.int64)
-        cents = g["cents"].to_numpy(np.int64)
+    def per_type(group: pa.Table) -> pa.Table:
+        cents = group.column("cents").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = group.column("n").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(cents, kind="stable")
+        cents, counts = cents[order], counts[order]
         cum = np.cumsum(counts)
         n = int(cum[-1])
-        row = {"event_type": [group["event_type"].iloc[0]],
-               "n_events": [n]}
+        row = {"event_type": group.column("event_type").slice(0, 1),
+               "n_events": pa.array([n], pa.int64())}
         for q in QUANTILES:
             k = max(int(np.ceil(q * n)), 1)
             idx = int(np.searchsorted(cum, k, side="left"))
-            row[f"p{int(q * 100)}_cents"] = [int(cents[idx])]
-        return pd.DataFrame(row)
+            row[f"p{int(q * 100)}_cents"] = pa.array([int(cents[idx])],
+                                                     pa.int64())
+        return pa.table(row)
 
     return hist.groupby("event_type").map_groups(per_type,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 EVENT_QUANTILES_SQL = f"""
@@ -611,20 +615,23 @@ def doc_length_rank(sf_dir: str, band: int = RANK_BAND):
         return batch.append_column(
             "rbucket", pa.array((nc // band).astype(np.int64), pa.int64()))
 
-    def rank_group(group: pd.DataFrame) -> pd.DataFrame:
+    def rank_group(group: pa.Table) -> pa.Table:
         offs = ray.get(off_ref)
-        g = group.sort_values(["n_chars", "doc_id"], kind="mergesort")
-        base = offs[int(g["rbucket"].iloc[0])]
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(np.int64),
-            "n_chars": g["n_chars"].to_numpy(np.int64),
-            "rnk": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        nc = group.column("n_chars").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, nc))
+        base = offs[int(group.column("rbucket")[0].as_py())]
+        return pa.table({
+            "doc_id": pa.array(did[order].astype(np.int64), pa.int64()),
+            "n_chars": pa.array(nc[order].astype(np.int64), pa.int64()),
+            "rnk": pa.array(base + np.arange(1, len(did) + 1,
+                                             dtype=np.int64), pa.int64()),
         })
 
     return (
         docs.map_batches(tag, batch_format="pyarrow")
         .groupby("rbucket")
-        .map_groups(rank_group, batch_format="pandas")
+        .map_groups(rank_group, batch_format="pyarrow")
     )
 
 
@@ -856,25 +863,28 @@ def event_value_mad(sf_dir: str, k: int = MAD_K):
         pos = max(int(np.ceil(0.5 * cum[-1])), 1)
         return int(values[np.searchsorted(cum, pos, side="left")])
 
-    def per_type(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("cents")
-        cents = g["cents"].to_numpy(np.int64)
-        counts = g["n"].to_numpy(np.int64)
+    def per_type(group: pa.Table) -> pa.Table:
+        cents = group.column("cents").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = group.column("n").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(cents, kind="stable")
+        cents, counts = cents[order], counts[order]
         med = _disc_median(cents, counts)
         dev = np.abs(cents - med)
         order = np.argsort(dev, kind="stable")
         mad = _disc_median(dev[order], counts[order])
         n_out = int(counts[dev > k * mad].sum())
-        return pd.DataFrame({
-            "event_type": [group["event_type"].iloc[0]],
-            "n_events": [int(counts.sum())],
-            "median_cents": [med],
-            "mad_cents": [mad],
-            "n_outliers": [n_out],
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n_events": pa.array([int(counts.sum())], pa.int64()),
+            "median_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([mad], pa.int64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
         })
 
     return hist.groupby("event_type").map_groups(per_type,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 EVENT_VALUE_MAD_SQL = f"""
@@ -933,18 +943,20 @@ def source_lang_matrix(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
     )
 
-    def spread(group: pd.DataFrame) -> pd.DataFrame:
-        unknown = set(group["lang"]) - set(PIVOT_LANGS)
+    def spread(group: pa.Table) -> pa.Table:
+        langs = group.column("lang").to_pylist()
+        ns = group.column("n").to_pylist()
+        unknown = set(langs) - set(PIVOT_LANGS)
         if unknown:
             raise ValueError(f"unpivoted languages: {sorted(unknown)}")
-        by = dict(zip(group["lang"], group["n"].astype(np.int64)))
-        row = {"source": [group["source"].iloc[0]]}
+        by = dict(zip(langs, ns))
+        row = {"source": group.column("source").slice(0, 1)}
         for lg in PIVOT_LANGS:
-            row[f"n_{lg}"] = [int(by.get(lg, 0))]
-        return pd.DataFrame(row)
+            row[f"n_{lg}"] = pa.array([int(by.get(lg, 0))], pa.int64())
+        return pa.table(row)
 
     return counts.groupby("source").map_groups(spread,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
 
 
 SOURCE_LANG_MATRIX_SQL = f"""

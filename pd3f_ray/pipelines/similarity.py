@@ -108,15 +108,17 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES):
             }
         )
 
-    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "neighbor_id"],
-                              ascending=[False, True]).head(k)
-        return g[["query_id", "neighbor_id"]]
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -sim))[:k]
+        return group.select(["query_id", "neighbor_id"]).take(
+            pa.array(order))
 
     return (
         ds.map_batches(batch_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(reduce_topk, batch_format="pandas")
+        .map_groups(reduce_topk, batch_format="pyarrow")
     )
 
 
@@ -229,15 +231,21 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES):
             }
         )
 
-    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["neighbor_id"])
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        return g[["query_id", "neighbor_id"]]
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        # duplicates of a neighbor (multi-table / multi-probe hits)
+        # carry the same sim — keep one per neighbor, then top-k
+        o1 = np.lexsort((-sim, nid))
+        keep = o1[np.r_[True, nid[o1][1:] != nid[o1][:-1]]]
+        order = keep[np.lexsort((nid[keep], -sim[keep]))[:k]]
+        return group.select(["query_id", "neighbor_id"]).take(
+            pa.array(order))
 
     return (
         ds.map_batches(batch_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(reduce_topk, batch_format="pandas")
+        .map_groups(reduce_topk, batch_format="pyarrow")
     )
 
 
@@ -336,15 +344,21 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
             }
         )
 
-    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["neighbor_id"])
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        return g[["query_id", "neighbor_id"]]
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        sim = group.column("sim").to_numpy(zero_copy_only=False)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        # duplicates of a neighbor (multi-table / multi-probe hits)
+        # carry the same sim — keep one per neighbor, then top-k
+        o1 = np.lexsort((-sim, nid))
+        keep = o1[np.r_[True, nid[o1][1:] != nid[o1][:-1]]]
+        order = keep[np.lexsort((nid[keep], -sim[keep]))[:k]]
+        return group.select(["query_id", "neighbor_id"]).take(
+            pa.array(order))
 
     return (
         ds.map_batches(batch_topk, batch_format="pyarrow")
         .groupby("query_id")
-        .map_groups(reduce_topk, batch_format="pandas")
+        .map_groups(reduce_topk, batch_format="pyarrow")
     )
 
 

@@ -138,22 +138,20 @@ def approx_distinct_users(sf_dir: str):
             }
         )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    def merge(group: pa.Table) -> pa.Table:
         regs = np.maximum.reduce(
-            [np.frombuffer(b, dtype=np.uint8) for b in group["regs"]]
+            [np.frombuffer(b, dtype=np.uint8)
+             for b in group.column("regs").to_pylist()]
         )
-        return pd.DataFrame(
-            {
-                "event_type": [group["event_type"].iloc[0]],
-                "n_users_approx": pd.Series([_hll_estimate(regs)],
-                                            dtype="int64"),
-            }
-        )
+        return pa.table({
+            "event_type": group.column("event_type").slice(0, 1),
+            "n_users_approx": pa.array([_hll_estimate(regs)], pa.int64()),
+        })
 
     return (
         ds.map_batches(batch_sketch, batch_format="pyarrow")
         .groupby("event_type")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -279,23 +277,26 @@ def approx_event_quantiles(sf_dir: str, nbins: int = QSKETCH_BINS):
             "counts": pa.array(counts, pa.list_(pa.int64())),
         })
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        all_c = np.concatenate([np.asarray(x) for x in group["cents"]])
-        all_n = np.concatenate([np.asarray(x, dtype=np.int64)
-                                for x in group["counts"]])
+    def resolve(group: pa.Table) -> pa.Table:
+        all_c = np.concatenate([np.asarray(x) for x
+                                in group.column("cents").to_pylist()])
+        all_n = np.concatenate([np.asarray(x, dtype=np.int64) for x
+                                in group.column("counts").to_pylist()])
         c, n = _merge_hist(all_c, all_n, nbins)
-        et = group["event_type"].iloc[0]
-        return pd.DataFrame({
-            "event_type": [et] * len(QSKETCH_QUANTILES),
-            "q": list(QSKETCH_QUANTILES),
-            "value_approx": [_hist_quantile(c, n, q)
-                             for q in QSKETCH_QUANTILES],
+        et = group.column("event_type")[0].as_py()
+        return pa.table({
+            "event_type": pa.array([et] * len(QSKETCH_QUANTILES),
+                                   pa.string()),
+            "q": pa.array(list(QSKETCH_QUANTILES), pa.float64()),
+            "value_approx": pa.array(
+                [_hist_quantile(c, n, q) for q in QSKETCH_QUANTILES],
+                pa.float64()),
         })
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
-        .map_groups(resolve, batch_format="pandas")
+        .map_groups(resolve, batch_format="pyarrow")
     )
 
 

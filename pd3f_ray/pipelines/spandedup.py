@@ -91,15 +91,25 @@ def _dup_table(sf_dir: str, w: int, num_buckets: int):
                                 pa.int32()),
         })
 
-    def dup_hashes(group: pd.DataFrame) -> pd.DataFrame:
-        counts = group.groupby("sh", sort=False)["doc_id"].nunique()
-        return pd.DataFrame({
-            "sh": counts.index[counts >= SPAN_MIN_DOCS].to_numpy(np.int64)})
+    def dup_hashes(group: pa.Table) -> pa.Table:
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(sh) == 0:
+            return pa.table({"sh": pa.array([], pa.int64())})
+        order = np.lexsort((did, sh))
+        sh_s, did_s = sh[order], did[order]
+        new_pair = np.r_[True, (sh_s[1:] != sh_s[:-1])
+                         | (did_s[1:] != did_s[:-1])]
+        sh_u = sh_s[new_pair]
+        starts = np.flatnonzero(np.r_[True, sh_u[1:] != sh_u[:-1]])
+        n = np.diff(np.r_[starts, len(sh_u)])
+        return pa.table({"sh": pa.array(
+            sh_u[starts][n >= SPAN_MIN_DOCS].astype(np.int64), pa.int64())})
 
     return (
         docs.map_batches(hash_pairs, batch_format="pyarrow")
         .groupby("sbucket")
-        .map_groups(dup_hashes, batch_format="pandas")
+        .map_groups(dup_hashes, batch_format="pyarrow")
         .materialize()
     )
 
@@ -124,36 +134,47 @@ def _fetch_small(ds) -> np.ndarray:
     return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
 
-def _doc_frames(group: pd.DataFrame, w: int, emit: str) -> pd.DataFrame:
+def _doc_frames(group: pa.Table, w: int, emit: str) -> pa.Table:
     """In-group fold for the union-join path: rows are token rows
     (kind 0: j, tok) and dup-start rows (kind 1: j) of the bucket's
-    documents; rebuild stats or stripped text per document."""
+    documents; rebuild stats or stripped text per document. pyarrow-
+    native: one (doc, kind, j) lexsort over the group, then per-doc
+    segment slices — the token strings never enter a pandas block."""
     out: dict[str, list] = (
         {"doc_id": [], "n_positions": [], "n_dup_positions": [],
          "n_dup_tokens": []} if emit == "stats"
         else {"doc_id": [], "text": []})
-    for did, sub in group.groupby("doc_id", sort=False):
-        toks_rows = sub[sub["kind"] == 0].sort_values("j")
-        starts = sub.loc[sub["kind"] == 1, "j"].to_numpy(np.int64)
-        n = len(toks_rows)
-        cov = _coverage(n, starts, w)
-        if emit == "stats":
-            out["doc_id"].append(int(did))
-            out["n_positions"].append(max(0, n - w + 1))
-            out["n_dup_positions"].append(int(len(starts)))
-            out["n_dup_tokens"].append(int(cov.sum()))
-        else:
-            kept = toks_rows["tok"].to_numpy(object)[~cov]
-            if len(kept):
-                out["doc_id"].append(int(did))
-                out["text"].append(" ".join(kept))
-    frame = {"doc_id": pd.Series(out["doc_id"], dtype="int64")}
+    did = group.column("doc_id").to_numpy(zero_copy_only=False)
+    jj = group.column("j").to_numpy(zero_copy_only=False)
+    kind = group.column("kind").to_numpy(zero_copy_only=False)
+    toks = group.column("tok").to_numpy(zero_copy_only=False)
+    if len(did):
+        order = np.lexsort((jj, kind, did))
+        did, jj, kind, toks = did[order], jj[order], kind[order], toks[order]
+        seg_s = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        seg_e = np.r_[seg_s[1:], len(did)]
+        for s, e in zip(seg_s, seg_e):
+            m0 = kind[s:e] == 0
+            starts = jj[s:e][~m0].astype(np.int64)
+            n = int(m0.sum())
+            cov = _coverage(n, starts, w)
+            if emit == "stats":
+                out["doc_id"].append(int(did[s]))
+                out["n_positions"].append(max(0, n - w + 1))
+                out["n_dup_positions"].append(int(len(starts)))
+                out["n_dup_tokens"].append(int(cov.sum()))
+            else:
+                kept = toks[s:e][m0][~cov]
+                if len(kept):
+                    out["doc_id"].append(int(did[s]))
+                    out["text"].append(" ".join(kept))
+    cols = {"doc_id": pa.array(out["doc_id"], pa.int64())}
     for c, v in out.items():
         if c == "doc_id":
             continue
-        frame[c] = pd.Series(
-            v, dtype=("int64" if emit == "stats" else object))
-    return pd.DataFrame(frame)
+        cols[c] = pa.array(v, pa.int64() if emit == "stats"
+                           else pa.string())
+    return pa.table(cols)
 
 
 def _union_join_plan(sf_dir: str, dup, w: int, emit: str,
@@ -225,9 +246,8 @@ def _union_join_plan(sf_dir: str, dup, w: int, emit: str,
     )
     return (
         unioned.groupby("dbucket")
-        .map_groups(lambda g: _doc_frames(g.drop(columns=["dbucket"]),
-                                          w, emit),
-                    batch_format="pandas")
+        .map_groups(lambda g: _doc_frames(g, w, emit),
+                    batch_format="pyarrow")
     )
 
 

@@ -449,30 +449,32 @@ def top_tokens_per_lang(sf_dir: str, k: int = TOP_PER_LANG_K):
     # per-lang top-k — the final groupby("lang") then holds ≤ blocks×k
     # candidate rows per language, bounded by the block count, never by
     # the language's vocabulary size.
-    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.sort_values(["lang", "n", "token"],
-                              ascending=[True, False, True])
-        return b.groupby("lang", sort=False).head(k)
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        tok = batch.column("token").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n, lang))
+        ls = lang[order]
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        counts = np.diff(np.r_[starts, len(ls)])
+        pos = np.arange(len(ls), dtype=np.int64) - np.repeat(starts, counts)
+        return batch.take(pa.array(np.sort(order[pos < k])))
 
-    candidates = totals.map_batches(block_topk, batch_format="pandas")
+    candidates = totals.map_batches(block_topk, batch_format="pyarrow")
 
-    def per_lang_topk(group: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for lg, sub in group.groupby("lang", sort=False):
-            g = sub.sort_values(["n", "token"],
-                                ascending=[False, True]).head(k)
-            g = g.assign(rank=pd.Series(range(1, len(g) + 1),
-                                        index=g.index, dtype="int64"))
-            out.append(g)
-        if not out:
-            return pd.DataFrame({"lang": pd.Series([], dtype=object),
-                                 "token": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype="int64"),
-                                 "rank": pd.Series([], dtype="int64")})
-        return pd.concat(out)[["lang", "token", "n", "rank"]]
+    def per_lang_topk(group: pa.Table) -> pa.Table:
+        tok = group.column("token").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:k]
+        out = group.select(["lang", "token", "n"]).take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64),
+                             pa.int64()))
 
     return candidates.groupby("lang").map_groups(per_lang_topk,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 def top_tokens_per_lang_sql(k: int = TOP_PER_LANG_K) -> str:
@@ -676,25 +678,31 @@ def weighted_sample_per_lang(sf_dir: str, k: int = WSAMPLE_LANG_K):
             "key": pa.array(keys, pa.float64()),
         })
 
-    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return (batch.sort_values(["lang", "key", "doc_id"],
-                                  ascending=[True, False, True])
-                .groupby("lang", sort=False).head(k))
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -key, lang))
+        ls = lang[order]
+        starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+        counts = np.diff(np.r_[starts, len(ls)])
+        pos = np.arange(len(ls), dtype=np.int64) - np.repeat(starts, counts)
+        return batch.take(pa.array(np.sort(order[pos < k])))
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        out = (group.sort_values(["key", "doc_id"],
-                                 ascending=[False, True]).head(k))
-        return pd.DataFrame({
-            "lang": out["lang"].to_numpy(object),
-            "doc_id": out["doc_id"].to_numpy(np.int64),
-            "n_chars": out["n_chars"].to_numpy(np.int64),
-        })
+    def resolve(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -key))[:k]
+        out = group.select(["lang", "doc_id", "n_chars"])
+        return out.take(pa.array(order))
 
     return (
         ds.map_batches(keyed, batch_format="pyarrow")
-        .map_batches(block_topk, batch_format="pandas")
+        .map_batches(block_topk, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(resolve, batch_format="pandas")
+        .map_groups(resolve, batch_format="pyarrow")
     )
 
 

@@ -94,17 +94,24 @@ def domain_stats(sf_dir: str):
         )
     )
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "source": [group["source"].iloc[0]],
-            "n_docs": [int(group["n_docs"].sum())],
-            "sum_chars": [int(group["sum_chars"].sum())],
-            "sum_tokens": [int(group["sum_tokens"].sum())],
-            "n_langs": [int(group["lang"].nunique())],
+    def fold(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def s(col):
+            return pa.array([pc.sum(group.column(col)).as_py()], pa.int64())
+
+        return pa.table({
+            "source": group.column("source").slice(0, 1),
+            "n_docs": s("n_docs"),
+            "sum_chars": s("sum_chars"),
+            "sum_tokens": s("sum_tokens"),
+            "n_langs": pa.array(
+                [pc.count_distinct(group.column("lang")).as_py()],
+                pa.int64()),
         })
 
     return per_lang.groupby("source").map_groups(fold,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 DOMAIN_STATS_SQL = """
@@ -316,15 +323,26 @@ def line_dedup_docs(sf_dir: str, broadcast_max: int = LINE_BROADCAST_MAX,
                                pa.int32()),
         })
 
-    def dup_hashes(group: pd.DataFrame) -> pd.DataFrame:
-        counts = group.groupby("lh", sort=False)["doc_id"].nunique()
-        return pd.DataFrame({
-            "lh": counts.index[counts >= LINE_MIN_DOCS].to_numpy(np.int64)})
+    def dup_hashes(group: pa.Table) -> pa.Table:
+        lh = group.column("lh").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(lh) == 0:
+            return pa.table({"lh": pa.array([], pa.int64())})
+        # distinct (lh, doc_id) pairs, then a segment count per lh
+        order = np.lexsort((did, lh))
+        lh_s, did_s = lh[order], did[order]
+        new_pair = np.r_[True, (lh_s[1:] != lh_s[:-1])
+                         | (did_s[1:] != did_s[:-1])]
+        lh_u = lh_s[new_pair]
+        starts = np.flatnonzero(np.r_[True, lh_u[1:] != lh_u[:-1]])
+        n = np.diff(np.r_[starts, len(lh_u)])
+        return pa.table({"lh": pa.array(
+            lh_u[starts][n >= LINE_MIN_DOCS].astype(np.int64), pa.int64())})
 
     dup = (
         docs.map_batches(hash_pairs, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(dup_hashes, batch_format="pandas")
+        .map_groups(dup_hashes, batch_format="pyarrow")
         .materialize()
     )
 
@@ -394,16 +412,27 @@ def line_dedup_docs(sf_dir: str, broadcast_max: int = LINE_BROADCAST_MAX,
             "dbucket", pa.array((d % num_buckets).astype(np.int32),
                                 pa.int32()))
 
-    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["doc_id", "line_no"], kind="mergesort")
-        agg = g.groupby("doc_id", sort=True)["line"].agg(" ".join)
-        return pd.DataFrame({"doc_id": agg.index.to_numpy(np.int64),
-                             "text": agg.to_numpy(object)})
+    def reassemble(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        lno = group.column("line_no").to_numpy(zero_copy_only=False)
+        lines = group.column("line").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lno, did))
+        did, lines = did[order], lines[order]
+        if len(did) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        starts = np.flatnonzero(np.r_[True, did[1:] != did[:-1]])
+        ends = np.r_[starts[1:], len(did)]
+        return pa.table({
+            "doc_id": pa.array(did[starts].astype(np.int64), pa.int64()),
+            "text": pa.array([" ".join(lines[s:e])
+                              for s, e in zip(starts, ends)], pa.string()),
+        })
 
     return (
         kept.map_batches(add_dbucket, batch_format="pyarrow")
         .groupby("dbucket")
-        .map_groups(reassemble, batch_format="pandas")
+        .map_groups(reassemble, batch_format="pyarrow")
     )
 
 
@@ -476,13 +505,15 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
                               pa.int64()),
         })
 
-    def pack(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id", kind="mergesort")
-        bucket = int(g["packb"].iloc[0])
-        seqs, docs_in, toks_in = [], 0, 0
+    def pack(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        ntok = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        ntok = ntok[np.argsort(did, kind="stable")]
+        bucket = int(group.column("packb")[0].as_py())
+        docs_in, toks_in = 0, 0
         seq_no = -1
         out_docs, out_toks = [], []
-        for n in g["n_tokens"].to_numpy(np.int64):
+        for n in ntok:
             if seq_no < 0 or toks_in + n > budget:
                 if seq_no >= 0:
                     out_docs.append(docs_in)
@@ -495,17 +526,20 @@ def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET,
             out_docs.append(docs_in)
             out_toks.append(toks_in)
         base = bucket * bucket_docs
-        return pd.DataFrame({
-            "seq_id": np.arange(base, base + len(out_docs), dtype=np.int64),
-            "n_docs": np.asarray(out_docs, np.int64),
-            "n_tokens": np.asarray(out_toks, np.int64),
+        return pa.table({
+            "seq_id": pa.array(
+                np.arange(base, base + len(out_docs), dtype=np.int64),
+                pa.int64()),
+            "n_docs": pa.array(np.asarray(out_docs, np.int64), pa.int64()),
+            "n_tokens": pa.array(np.asarray(out_toks, np.int64),
+                                 pa.int64()),
         })
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("packb")
-        .map_groups(pack, batch_format="pandas")
+        .map_groups(pack, batch_format="pyarrow")
     )
 
 
@@ -725,17 +759,21 @@ def shuffle_assignment(sf_dir: str, num_shards: int = SHUF_SHARDS,
         acc_by_shard[shard] = offsets[sb] + per_band[sb]
     off_ref = ray.put(offsets)
 
-    def number(group: pd.DataFrame) -> pd.DataFrame:
+    def number(group: pa.Table) -> pa.Table:
         offs = ray.get(off_ref)
-        g = group.sort_values(["sortkey", "doc_id"], kind="mergesort")
-        base = offs[int(g["sband"].iloc[0])]
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(np.int64),
-            "shard": g["shard"].to_numpy(np.int64),
-            "pos": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        sk = group.column("sortkey").to_numpy(zero_copy_only=False)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        shard = group.column("shard").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, sk))
+        base = offs[int(group.column("sband")[0].as_py())]
+        return pa.table({
+            "doc_id": pa.array(did[order], pa.int64()),
+            "shard": pa.array(shard[order], pa.int64()),
+            "pos": pa.array(base + np.arange(1, len(did) + 1,
+                                             dtype=np.int64), pa.int64()),
         })
 
-    return keyed.groupby("sband").map_groups(number, batch_format="pandas")
+    return keyed.groupby("sband").map_groups(number, batch_format="pyarrow")
 
 
 def shuffle_assignment_sql(num_shards: int = SHUF_SHARDS) -> str:
@@ -778,22 +816,37 @@ def source_cap_sample(sf_dir: str, cap: int = SOURCE_CAP):
 
     docs = _docs(sf_dir, ["doc_id", "source"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(rank=[md5_hex(str(i)) for i in df["doc_id"]])
-        df = df.sort_values(["source", "rank", "doc_id"], kind="mergesort")
-        return df.groupby("source", sort=False).head(cap)
+    def partial(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        rank = np.array([md5_hex(str(i)) for i in did], object)
+        order = np.lexsort((did, rank, src))
+        src_s = src[order]
+        starts = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
+        counts = np.diff(np.r_[starts, len(src_s)])
+        pos = np.arange(len(src_s), dtype=np.int64) - np.repeat(starts,
+                                                                counts)
+        keep = np.sort(order[pos < cap])
+        return pa.table({
+            "doc_id": pa.array(did[keep].astype(np.int64), pa.int64()),
+            "source": pa.array(src[keep], pa.string()),
+            "rank": pa.array(rank[keep], pa.string()),
+        })
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["rank", "doc_id"], kind="mergesort").head(cap)
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].to_numpy(np.int64),
-            "source": g["source"].to_numpy(object),
+    def resolve(group: pa.Table) -> pa.Table:
+        did = group.column("doc_id").to_numpy(zero_copy_only=False)
+        rank = group.column("rank").to_numpy(zero_copy_only=False)
+        src = group.column("source").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, rank))[:cap]
+        return pa.table({
+            "doc_id": pa.array(did[order].astype(np.int64), pa.int64()),
+            "source": pa.array(src[order], pa.string()),
         })
 
     return (
-        docs.map_batches(partial, batch_format="pandas")
+        docs.map_batches(partial, batch_format="pyarrow")
         .groupby("source")
-        .map_groups(resolve, batch_format="pandas")
+        .map_groups(resolve, batch_format="pyarrow")
     )
 
 
@@ -927,15 +980,23 @@ def web_corpus_pipeline(sf_dir: str):
             "dbucket": pa.array(np.asarray(buckets, np.int64), pa.int64()),
         })
 
-    def first_per_digest(group: pd.DataFrame) -> pd.DataFrame:
+    def first_per_digest(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         # lowest doc_id == lexicographic-min url is NOT true for
-        # variable-length ids ('doc://9' > 'doc://10'): rank numerically
-        ids = group["url"].str.slice(6).astype(np.int64)
-        g = group.assign(_id=ids).sort_values(["digest", "_id"],
-                                              kind="mergesort")
-        g = g[~g["digest"].duplicated(keep="first")]
-        return pd.DataFrame({"url": g["url"].to_numpy(object),
-                             "text": g["text"].to_numpy(object)})
+        # variable-length ids ('doc://9' > 'doc://10'): rank numerically.
+        # The winner rows are taken straight off the Arrow group slice —
+        # the text payload never round-trips through pandas/numpy.
+        if group.num_rows == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "text": pa.array([], pa.string())})
+        ids = pc.cast(pc.utf8_slice_codeunits(group.column("url"), 6),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        digest = group.column("digest").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, digest))
+        d_sorted = digest[order]
+        keep = order[np.r_[True, d_sorted[1:] != d_sorted[:-1]]]
+        return group.select(["url", "text"]).take(pa.array(np.sort(keep)))
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     return (
@@ -948,7 +1009,7 @@ def web_corpus_pipeline(sf_dir: str):
                      concurrency=pool, num_cpus=0.75, batch_size=1024)
         .map_batches(gate, batch_format="pyarrow")
         .groupby("dbucket")
-        .map_groups(first_per_digest, batch_format="pandas")
+        .map_groups(first_per_digest, batch_format="pyarrow")
     )
 
 

@@ -428,27 +428,36 @@ def crawl_consolidation_pipeline(sf_dir: str):
             "html": pa.array(htmls, pa.binary()),
         })
 
-    def keep_latest(df):
-        df = df.sort_values(["url_norm", "packed"])
-        return df[~df["url_norm"].duplicated(keep="last")]
+    def keep_latest(t: pa.Table) -> pa.Table:
+        # argmax(packed) per url on the zero-copy Arrow slice — the
+        # html BINARY payload never round-trips through a pandas block
+        if t.num_rows == 0:
+            return t
+        urls = t.column("url_norm").to_numpy(zero_copy_only=False)
+        packed = t.column("packed").to_numpy(zero_copy_only=False)
+        order = np.lexsort((packed, urls))
+        u_s = urls[order]
+        last = np.flatnonzero(np.r_[u_s[1:] != u_s[:-1], True])
+        return t.take(pa.array(np.sort(order[last])))
 
-    def add_bucket(df):
-        df = keep_latest(df)  # map-side partial: losers in-block never ship
-        h = np.fromiter(
-            (hash_bytes(u.encode()) for u in df["url_norm"]),
-            dtype=np.uint64, count=len(df))
-        df = df.assign(bucket=(h % _CRAWL_BUCKETS).astype(np.int64))
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = keep_latest(t)  # map-side partial: losers in-block never ship
+        urls = t.column("url_norm").to_numpy(zero_copy_only=False)
+        h = np.fromiter((hash_bytes(u.encode()) for u in urls),
+                        dtype=np.uint64, count=len(urls))
+        return t.append_column(
+            "bucket", pa.array((h % _CRAWL_BUCKETS).astype(np.int64),
+                               pa.int64()))
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     winners = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
-            lambda g: keep_latest(g).drop(columns=["bucket", "packed"]),
-            batch_format="pandas")
+            lambda g: keep_latest(g).select(["url_norm", "html"]),
+            batch_format="pyarrow")
     )
 
     extracted = winners.map_batches(
