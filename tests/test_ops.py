@@ -476,6 +476,54 @@ def test_anti_join_basic(ray_session):
     assert out["v"].tolist() == ["a", "c"]
 
 
+def test_hash_join_keeps_both_key_columns(ray_session):
+    # pandas-merge parity of the Acero reducer: distinct key names keep
+    # BOTH key columns in the output, value-equal on every row
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pd3f_ray.pipelines.joins import hash_join
+
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 2, 5], pa.int64()),
+         "v": ["a", "b", "c", "d"]}))
+    right = rd.from_arrow(pa.table(
+        {"rk": pa.array([2, 5, 9], pa.int64()),
+         "w": pa.array([20, 50, 90], pa.int64())}))
+    out = hash_join(left, right, "k", "rk").to_pandas().sort_values(
+        ["k", "v"]).reset_index(drop=True)
+    assert list(out.columns) == ["k", "v", "rk", "w"]
+    assert out["k"].tolist() == [2, 2, 5]
+    assert out["rk"].tolist() == [2, 2, 5]
+    assert out["w"].tolist() == [20, 20, 50]
+
+
+def test_left_join_right_key_null_on_unmatched(ray_session):
+    # the __rk carry: Acero coalesces the key pair, but pandas-merge
+    # semantics keep the right key as a REAL column — null exactly on
+    # the unmatched left rows, and right ints stay integral (nullable),
+    # never float-promoted
+    import pyarrow as pa
+    import ray.data as rd
+
+    from pd3f_ray.pipelines.joins import left_join
+
+    left = rd.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64())}))
+    right = rd.from_arrow(pa.table(
+        {"rk": pa.array([2], pa.int64()), "w": pa.array([20], pa.int64())}))
+    ds = left_join(left, right, "k", "rk")
+    tbl = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")])
+    assert tbl.column("rk").type == pa.int64()
+    assert tbl.column("w").type == pa.int64()
+    out = tbl.to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["rk"].isna().tolist() == [True, False, True]
+    assert out["w"].isna().tolist() == [True, False, True]
+    assert out.loc[1, "rk"] == 2 and out.loc[1, "w"] == 20
+
+
 def test_curate_neardup_oracle(ray_session, con):
     from pd3f_ray.pipelines.curation import CURATE_NEARDUP_SQL, curate_neardup
 
