@@ -628,7 +628,9 @@ def embdup_lsh(sf_dir: str, threshold: float = EMB_THRESHOLD):
     def tag_tables(batch: pa.Table) -> pa.Table:
         vids = batch.column("vec_id")
         emb = batch.column("embedding")
-        m = np.array(emb.to_pylist(), dtype=np.float64)
+        m = emb.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(batch.num_rows, -1).astype(
+            np.float64)
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
         nm = m / n

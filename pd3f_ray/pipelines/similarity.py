@@ -56,10 +56,21 @@ def _smallest_rows(sf_dir: str, n: int):
         filter=pads.field("vec_id").isin(sel),
     )
     ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    vecs = _emb_matrix(tbl.column("embedding"), tbl.num_rows)
     order = np.argsort(ids)
     return ids[order], vecs[order]
 
+
+
+def _emb_matrix(col, n_rows: int) -> np.ndarray:
+    """Fixed-width list<float> column -> (n_rows, dim) float64 matrix by
+    flattening the Arrow values buffer - no per-row Python list
+    materialization."""
+    if n_rows == 0:
+        return np.empty((0, 0), np.float64)
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(
+        n_rows, -1).astype(np.float64)
 
 def _query_matrix(sf_dir: str, n_queries: int):
     # queries = the n smallest vec_ids
@@ -79,7 +90,7 @@ def knn_bruteforce(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES):
     def batch_topk(batch: pa.Table) -> pa.Table:
         ids_q, qmat = ray.get(q_ref)
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _emb_matrix(batch.column("embedding"), batch.num_rows)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (mat / norms) @ qmat.T  # (n_batch, n_q)
@@ -193,7 +204,7 @@ def knn_lsh(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES):
     def batch_topk(batch: pa.Table) -> pa.Table:
         ids_q, qmat, probe_maps = ray.get(ref)
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _emb_matrix(batch.column("embedding"), batch.num_rows)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         nm = mat / norms
@@ -311,7 +322,7 @@ def knn_ivf(sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES,
     def batch_topk(batch: pa.Table) -> pa.Table:
         ids_q, qmat, cents, probe_map = ray.get(ref)
         vids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = _emb_matrix(batch.column("embedding"), batch.num_rows)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         nm = mat / norms
@@ -378,7 +389,7 @@ def kmeans_assign(sf_dir: str, n_clusters: int = IVF_CLUSTERS):
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        m = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        m = _emb_matrix(batch.column("embedding"), batch.num_rows)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (m / norms) @ c.T
@@ -439,8 +450,7 @@ def kmeans_train(sf_dir: str, n_clusters: int = IVF_CLUSTERS,
     def partial_table(ref):
         def fn(batch: pa.Table) -> pa.Table:
             c = ray.get(ref)
-            m = np.stack(batch.column("embedding").to_pylist()
-                         ).astype(np.float64)
+            m = _emb_matrix(batch.column("embedding"), batch.num_rows)
             nm = np.linalg.norm(m, axis=1, keepdims=True)
             nm[nm == 0] = 1.0
             m = m / nm
