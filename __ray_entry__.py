@@ -607,8 +607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_purchase_matrix", "customer_order_counts",
         "referential_integrity", "region_brand_revenue",
         "q3_shipping_priority", "user_sessions", "purchase_attribution",
-        "top_events_per_user", "latest_event_per_user",
-        "user_running_total", "event_gaps",
+        "dedup_incremental", "event_value_mad", "doc_length_ntile",
+        "source_lang_matrix",
     ]
     missing = [k for k in prefix if k not in reg]
     assert not missing, f"rotation prefix names unknown ops: {missing}"
