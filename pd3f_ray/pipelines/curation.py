@@ -23,7 +23,6 @@ import os
 import zlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 

@@ -38,7 +38,6 @@ import shutil
 import time
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 

@@ -36,7 +36,6 @@ import os
 from collections import Counter
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Sum
