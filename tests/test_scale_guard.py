@@ -170,3 +170,16 @@ def test_fact_table_driver_reads_are_allowlisted():
             hits.append(f"{path.name}:{line}: driver pq.read_table of "
                         f"'{table}' — not in ALLOWED_READS")
     assert not hits, "\n".join(hits)
+
+
+def test_no_pandas_batch_format_in_library():
+    """Round-5 invariant: every reducer and batch transform in the
+    library is pyarrow-native — a pandas batch_format would reintroduce
+    an O(data) Arrow→pandas→Arrow block conversion on an exchange path.
+    New code that genuinely needs pandas must justify itself here."""
+    hits = []
+    for path, src in _sources():
+        for m in re.finditer(r'batch_format="pandas"', src):
+            line = src[: m.start()].count("\n") + 1
+            hits.append(f"{path.name}:{line}: batch_format=\"pandas\"")
+    assert not hits, "\n".join(hits)
